@@ -1,0 +1,154 @@
+"""Config system: a typed, flat hyperparameter container with a ``k=v,...``
+string parser kept CLI-compatible with the reference's ``--hpconfig``.
+
+Reference parity: ``tf_utils/hparams.py — class HParams`` (attr store with
+``parse("a=1,b=0.5,c=true")`` and type inference from defaults) plus the
+default hyperparameters in ``tf_train.py — get_default_hparams()``.
+(Reference mount was empty at survey time; symbols cited per SURVEY.md §0.)
+
+TPU-native deltas: the config is a frozen dataclass (hashable, so it can be a
+static argument to ``jax.jit``), and adds mesh/precision knobs the reference
+never had (``num_hosts`` towers -> ``mesh_data``/``mesh_model`` axes).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field, fields
+from typing import Any
+
+
+def _parse_value(raw: str, default: Any) -> Any:
+    """Parse ``raw`` using the type of ``default`` (HParams-style inference)."""
+    if isinstance(default, bool):
+        low = raw.strip().lower()
+        if low in ("true", "1", "yes"):
+            return True
+        if low in ("false", "0", "no"):
+            return False
+        raise ValueError(f"cannot parse {raw!r} as bool")
+    if isinstance(default, int) and not isinstance(default, bool):
+        return int(raw)
+    if isinstance(default, float):
+        return float(raw)
+    if isinstance(default, str):
+        return raw
+    if isinstance(default, tuple):
+        if raw.strip() == "":
+            return ()
+        elem = default[0] if default else 0
+        return tuple(_parse_value(p, elem) for p in raw.split(";"))
+    raise TypeError(f"unsupported config field type {type(default)}")
+
+
+@dataclass(frozen=True)
+class Config:
+    """All hyperparameters of the IAF-VAE stack (TF + Theano capability union).
+
+    Field names follow ``tf_train.get_default_hparams()`` where a counterpart
+    exists so that reference reproduction commands like
+    ``--hpconfig depth=1,num_blocks=20,kl_min=0.25,learning_rate=0.002,batch_size=32``
+    parse unchanged.
+    """
+
+    # --- data / problem ---
+    dataset: str = "cifar10"          # cifar10 | mnist | synthetic
+    data_dir: str = "./data"
+    image_size: int = 32
+    channels: int = 3
+
+    # --- model architecture (tf_train.py CVAE1 defaults) ---
+    z_size: int = 32                  # latent channels per stochastic layer
+    h_size: int = 160                 # deterministic width
+    depth: int = 2                    # IAF layers per block
+    num_blocks: int = 2               # blocks of stochastic layers
+    k: int = 1                        # importance samples (eval uses >1)
+    kl_min: float = 0.25              # free bits per z-channel (0 disables)
+    enum_iaf: int = 0                 # reserved (reference flag parity)
+    # AR posterior: number/width of hidden masked-conv layers in ar_multiconv2d
+    depth_ar: int = 2                 # hidden masked conv layers ("[h_size]*depth_ar")
+    ar_hidden_size: int = 0           # 0 -> use h_size
+    flow: str = "iaf"                 # iaf | diag (diag = no flow, config c1)
+    # IAF update parameterization: "division" (TF stack: z=(z-m)/exp(s)) or
+    # "gate" (Theano stack: z = sigmoid(s)*z + (1-sigmoid(s))*m)
+    flow_update: str = "division"
+    gate_forget_bias: float = 1.0     # added to s before sigmoid in gate mode
+    ar_kind: str = "conv"             # conv | dense (dense = MNIST MADE path)
+    kernel_size: int = 3              # AR/resnet conv filter size
+    stem_kernel_size: int = 5         # stride-2 stem conv/deconv filter size
+
+    # --- objective / likelihood ---
+    likelihood: str = "dlogistic"     # dlogistic | bernoulli (MNIST)
+    binarize: bool = False            # dynamic binarization (MNIST path)
+
+    # --- optimization (tf_utils/adamax.py + tf_train.py) ---
+    learning_rate: float = 0.002
+    beta1: float = 0.9
+    beta2: float = 0.999
+    adamax_eps: float = 1e-8
+    bias_correction: bool = False     # upstream adamax.py applies none
+    polyak_decay: float = 0.999       # tf.train.ExponentialMovingAverage decay
+    grad_clip: float = 0.0            # 0 = off (reference has none)
+    batch_size: int = 16              # per-replica examples (ref: per-GPU 16?32)
+    total_steps: int = 1_000_000
+    seed: int = 123
+
+    # --- precision ---
+    compute_dtype: str = "float32"    # bfloat16 opt-in, gated on bits/dim parity
+
+    # --- parallelism (new; reference had in-graph DP towers only) ---
+    num_gpus: int = 1                 # reference flag kept for CLI parity (= data shards)
+    mesh_data: int = 0                # 0 -> all devices on the data axis
+    mesh_model: int = 1               # reserved model axis (off by default)
+
+    # --- eval ---
+    eval_batch_size: int = 16
+    eval_k: int = 4096                # importance samples for IW eval
+
+    # --- checkpoint / logging ---
+    logdir: str = "/tmp/iaf_tpu"
+    ckpt_every: int = 1000
+    log_every: int = 100
+    eval_every: int = 0               # 0 = off
+    fail_after_step: int = 0          # fault injection: crash after N steps (0=off)
+
+    # ------------------------------------------------------------------
+    def parse(self, spec: str) -> "Config":
+        """Return a new Config with ``k=v,...`` overrides applied.
+
+        Mirrors ``HParams.parse``: types inferred from the defaults, unknown
+        keys are an error.
+        """
+        if not spec:
+            return self
+        by_name = {f.name: f for f in fields(self)}
+        updates: dict[str, Any] = {}
+        for item in spec.split(","):
+            item = item.strip()
+            if not item:
+                continue
+            if "=" not in item:
+                raise ValueError(f"malformed hpconfig item {item!r} (need k=v)")
+            key, raw = item.split("=", 1)
+            key = key.strip()
+            if key not in by_name:
+                raise KeyError(f"unknown hyperparameter {key!r}")
+            updates[key] = _parse_value(raw, getattr(self, key))
+        return dataclasses.replace(self, **updates)
+
+    # Convenience accessors -------------------------------------------------
+    @property
+    def ar_hidden(self) -> int:
+        return self.ar_hidden_size or self.h_size
+
+    @property
+    def num_pixels(self) -> int:
+        return self.image_size * self.image_size * self.channels
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def get_default_hparams() -> Config:
+    """Reference-named constructor (``tf_train.get_default_hparams()``)."""
+    return Config()

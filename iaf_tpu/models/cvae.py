@@ -1,0 +1,281 @@
+"""ResNet VAE with deep IAF posteriors (the flagship CIFAR-10 model).
+
+Reference parity: ``tf_train.py — class CVAE1 (__init__, _forward)`` and
+``class IAFLayer (up, down)``. (Reference mount empty at survey time;
+symbols cited per SURVEY.md §2.1/§3.1.)
+
+Architecture (NHWC, TPU-preferred layout):
+  x/256 - 0.5 -> stride-2 weight-norm stem conv -> ``num_blocks`` x ``depth``
+  IAF layers bottom-up (posterior stats + context) then top-down from a
+  learned ``h_top`` bias (prior stats, posterior sample, IAF step, free-bits
+  KL, residual decode) -> stride-2 deconv -> discretized-logistic likelihood
+  with scalar learned ``dec_log_stdv``.
+
+Everything is a pure function over a nested params pytree threaded by
+``iaf_tpu.nn.layers.Ctx``; ``init_params`` runs the same forward in init mode
+to perform the weight-norm data-dependent initialization (SURVEY.md §3.5).
+
+Flow parameterizations (config ``flow_update``):
+  * "division" (TF stack):    z <- (z - 0.1*m) / exp(0.1*s),  logq += 0.1*s
+  * "gate" (Theano stack):    g = sigmoid(s + forget_bias)
+                              z <- g*z + (1-g)*m,             logq += log g
+Both accumulate the running log-det-Jacobian into the posterior log-density.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from iaf_tpu.core.config import Config
+from iaf_tpu.distributions import (
+    DiagonalGaussian,
+    compute_lowerbound,
+    discretized_logistic,
+)
+from iaf_tpu.nn import layers as L
+from iaf_tpu.nn.layers import Ctx
+
+LOG2 = 0.6931471805599453
+
+
+class LayerStats(NamedTuple):
+    """Bottom-up posterior statistics stashed by ``up`` for ``down``."""
+    qz_mean: jax.Array
+    qz_logsd: jax.Array
+    up_context: jax.Array
+
+
+class ModelOut(NamedTuple):
+    loss: jax.Array          # scalar training objective (mean nats/example)
+    elbo_nats: jax.Array     # per-example -log p(x) bound (k-sample IW)
+    bits_per_dim: jax.Array  # scalar mean bits/dim over the batch
+    kl_obj: jax.Array        # scalar mean free-bits KL (training side)
+    kl_cost: jax.Array       # scalar mean raw KL (eval side)
+    log_pxz: jax.Array       # scalar mean reconstruction term
+    x_out: jax.Array         # decoded means in [-0.5, 0.5) domain
+
+
+def _split(x: jax.Array, sizes) -> list[jax.Array]:
+    out, start = [], 0
+    for s in sizes:
+        out.append(x[..., start:start + s])
+        start += s
+    return out
+
+
+# ---------------------------------------------------------------------------
+# IAFLayer
+# ---------------------------------------------------------------------------
+
+def iaf_layer_up(cfg: Config, ctx: Ctx, h: jax.Array) -> tuple[jax.Array, LayerStats]:
+    """Bottom-up pass of one stochastic layer (``IAFLayer.up``)."""
+    zs, hs = cfg.z_size, cfg.h_size
+    ks = (cfg.kernel_size, cfg.kernel_size)
+    x = L.elu(h)
+    x = L.conv2d(ctx, "up_conv1", x, 2 * zs + 2 * hs, filter_size=ks)
+    qz_mean, qz_logsd, up_context, hidden = _split(x, [zs, zs, hs, hs])
+    hidden = L.elu(hidden)
+    hidden = L.conv2d(ctx, "up_conv3", hidden, hs, filter_size=ks)
+    return h + 0.1 * hidden, LayerStats(qz_mean, qz_logsd, up_context)
+
+
+def iaf_flow(cfg: Config, ctx: Ctx, z: jax.Array, context: jax.Array,
+             logqs: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """One IAF step: masked AR net -> (m, s) heads -> invertible update with
+    running log-det-Jacobian folded into ``logqs`` (elementwise)."""
+    n_h = [cfg.ar_hidden] * cfg.depth_ar
+    if cfg.ar_kind == "conv":
+        m, s = L.ar_multiconv2d(ctx, "ar1", z, context, n_h,
+                                [cfg.z_size, cfg.z_size],
+                                filter_size=(cfg.kernel_size, cfg.kernel_size))
+    else:  # dense MADE over the channel vector at each position
+        m, s = L.ar_multidense(ctx, "ar1", z, context, n_h,
+                               [cfg.z_size, cfg.z_size])
+    m = m * 0.1
+    s = s * 0.1
+    if cfg.flow_update == "division":
+        z = (z - m) * jnp.exp(-s)
+        logqs = logqs + s
+    elif cfg.flow_update == "gate":
+        # z' = g*z + (1-g)*m with g in (0,1): |det dz'/dz| = prod g, so the
+        # change of variables gives log q(z') = log q(z) - sum log g
+        # (arXiv:1606.04934 eq. 13's running -sum log sigma term).
+        gate = jax.nn.sigmoid(s + cfg.gate_forget_bias)
+        z = gate * z + (1.0 - gate) * m
+        logqs = logqs - jax.nn.log_sigmoid(s + cfg.gate_forget_bias)
+    else:
+        raise ValueError(f"unknown flow_update {cfg.flow_update!r}")
+    return z, logqs
+
+
+def iaf_layer_down(
+    cfg: Config, ctx: Ctx, h: jax.Array, stats: LayerStats | None,
+    mode: str,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Top-down pass of one stochastic layer (``IAFLayer.down``).
+
+    Returns (new h, kl_obj per example, kl_cost per example). In
+    ``mode == "sample"`` the latent is drawn from the prior and both KL
+    outputs are zero.
+    """
+    zs, hs = cfg.z_size, cfg.h_size
+    ks = (cfg.kernel_size, cfg.kernel_size)
+    x = L.elu(h)
+    x = L.conv2d(ctx, "down_conv1", x, 4 * zs + 2 * hs, filter_size=ks)
+    pz_mean, pz_logsd, rz_mean, rz_logsd, down_context, h_det = _split(
+        x, [zs, zs, zs, zs, hs, hs])
+    prior = DiagonalGaussian(pz_mean, 2.0 * pz_logsd)
+
+    batch = h.shape[0]
+    if mode == "sample":
+        z = prior.sample(ctx.key("z_prior"))
+        kl_obj = kl_cost = jnp.zeros((batch,), h.dtype)
+    else:
+        assert stats is not None
+        posterior = DiagonalGaussian(stats.qz_mean + rz_mean,
+                                     2.0 * (stats.qz_logsd + rz_logsd))
+        z = posterior.sample(ctx.key("z_post"))
+        logqs = posterior.logps(z)
+        if cfg.flow == "iaf":
+            context = stats.up_context + down_context
+            z, logqs = iaf_flow(cfg, ctx, z, context, logqs)
+        logps = prior.logps(z)
+        kl_cost = logqs - logps  # elementwise [B,H,W,zs]
+
+        if cfg.kl_min > 0:
+            # Free bits (paper §3.3; ``IAFLayer.down`` in tf_train.py):
+            # per-channel KL summed over spatial dims, averaged over the
+            # batch, clamped at kl_min — enters ONLY the training objective.
+            kl_ave = jnp.mean(jnp.sum(kl_cost, axis=(1, 2)), axis=0,
+                              keepdims=True)                    # [1, zs]
+            kl_ave = jnp.maximum(kl_ave, cfg.kl_min)
+            kl_obj = jnp.sum(jnp.broadcast_to(kl_ave, (batch, zs)), axis=1)
+        else:
+            kl_obj = jnp.sum(kl_cost, axis=(1, 2, 3))
+        kl_cost = jnp.sum(kl_cost, axis=(1, 2, 3))
+
+    hidden = jnp.concatenate([z, h_det], axis=-1)
+    hidden = L.elu(hidden)
+    hidden = L.conv2d(ctx, "down_conv2", hidden, hs, filter_size=ks)
+    return h + 0.1 * hidden, kl_obj, kl_cost
+
+
+# ---------------------------------------------------------------------------
+# CVAE
+# ---------------------------------------------------------------------------
+
+def _layer_names(cfg: Config):
+    return [f"block_{i}/layer_{j}"
+            for i in range(cfg.num_blocks) for j in range(cfg.depth)]
+
+
+def cvae_forward(cfg: Config, ctx: Ctx, x: jax.Array, mode: str = "train",
+                 k: int | None = None, temperature: float = 1.0) -> ModelOut:
+    """Full forward pass.
+
+    ``x`` is uint8/float imagery in [0, 256); ``k`` importance samples
+    replicate the batch (eval path, ``CVAE1._forward`` tile-by-k). ``mode``
+    is one of "train" | "eval" | "sample".
+    """
+    k = cfg.k if k is None else k
+    sks = (cfg.stem_kernel_size, cfg.stem_kernel_size)
+    x = x.astype(jnp.float32) / 256.0 - 0.5
+    orig_x = x
+    if k > 1:
+        x = jnp.repeat(x, k, axis=0)
+
+    h = L.conv2d(ctx, "x_enc", x, cfg.h_size, filter_size=sks, stride=(2, 2))
+
+    names = _layer_names(cfg)
+    stats: dict[str, LayerStats] = {}
+    if mode != "sample":
+        for name in names:
+            h, st = iaf_layer_up(cfg, ctx.scope(name), h)
+            stats[name] = st
+
+    # Top-down from a learned per-channel bias (``h_top`` in tf_train.py).
+    h_top = ctx.param("h_top", (cfg.h_size,), L.zeros_init)
+    dec_hw = cfg.image_size // 2
+    batch = x.shape[0]
+    h = jnp.broadcast_to(h_top, (batch, dec_hw, dec_hw, cfg.h_size))
+
+    kl_obj_total = jnp.zeros((batch,), jnp.float32)
+    kl_cost_total = jnp.zeros((batch,), jnp.float32)
+    for name in reversed(names):
+        h, kl_obj, kl_cost = iaf_layer_down(
+            cfg, ctx.scope(name), h, stats.get(name), mode)
+        kl_obj_total = kl_obj_total + kl_obj
+        kl_cost_total = kl_cost_total + kl_cost
+
+    h = L.elu(h)
+    x_out = L.deconv2d(ctx, "x_dec", h, cfg.channels, filter_size=sks,
+                       stride=(2, 2))
+
+    dec_log_stdv = ctx.param("dec_log_stdv", (), L.zeros_init)
+    if mode == "sample":
+        log_pxz = jnp.zeros((batch,), jnp.float32)
+    else:
+        log_pxz = discretized_logistic(x_out, dec_log_stdv, sample=x)
+
+    # Training objective: free-bits KL; reported bound: raw KL (k-sample IW).
+    loss = jnp.mean(kl_obj_total - log_pxz)
+    elbo_nats = compute_lowerbound(log_pxz, kl_cost_total, k)  # [B]
+    bits_per_dim = jnp.mean(elbo_nats) / (LOG2 * cfg.num_pixels)
+    del orig_x, temperature  # temperature used in cvae_sample only
+    return ModelOut(
+        loss=loss,
+        elbo_nats=elbo_nats,
+        bits_per_dim=bits_per_dim,
+        kl_obj=jnp.mean(kl_obj_total),
+        kl_cost=jnp.mean(kl_cost_total),
+        log_pxz=jnp.mean(log_pxz),
+        x_out=x_out,
+    )
+
+
+def init_params(cfg: Config, rng: jax.Array, sample_batch: jax.Array):
+    """Weight-norm data-dependent init: run the forward in init mode on a
+    real batch; ``g``/``b`` of every weight-norm layer are calibrated from
+    the activation statistics (SURVEY.md §3.5). Pure and jittable."""
+    ctx = Ctx(params={}, rng=rng, init=True)
+    cvae_forward(cfg, ctx, sample_batch, mode="train")
+    return ctx.root
+
+
+def apply_fn(cfg: Config, params, rng: jax.Array, x: jax.Array,
+             mode: str = "train", k: int | None = None) -> ModelOut:
+    return cvae_forward(cfg, Ctx(params=params, rng=rng, init=False), x,
+                        mode=mode, k=k)
+
+
+def cvae_sample(cfg: Config, params, rng: jax.Array, num: int,
+                temperature: float = 1.0) -> jax.Array:
+    """Generative sampling (``mode="sample"`` branch of ``CVAE1._forward``):
+    skip the up pass, draw each z from its prior (scaled by ``temperature``),
+    decode. Returns images in [0, 256)."""
+    zs, hs = cfg.z_size, cfg.h_size
+    ks = (cfg.kernel_size, cfg.kernel_size)
+    sks = (cfg.stem_kernel_size, cfg.stem_kernel_size)
+    ctx = Ctx(params=params, rng=rng, init=False)
+    names = _layer_names(cfg)
+    h_top = ctx.param("h_top", (hs,), L.zeros_init)
+    dec_hw = cfg.image_size // 2
+    h = jnp.broadcast_to(h_top, (num, dec_hw, dec_hw, hs))
+    for name in reversed(names):
+        sub = ctx.scope(name)
+        x = L.elu(h)
+        x = L.conv2d(sub, "down_conv1", x, 4 * zs + 2 * hs, filter_size=ks)
+        pz_mean, pz_logsd, _, _, _, h_det = _split(x, [zs, zs, zs, zs, hs, hs])
+        eps = jax.random.normal(sub.key("z_prior"), pz_mean.shape)
+        z = pz_mean + temperature * jnp.exp(pz_logsd) * eps
+        hidden = jnp.concatenate([z, h_det], axis=-1)
+        hidden = L.elu(hidden)
+        hidden = L.conv2d(sub, "down_conv2", hidden, hs, filter_size=ks)
+        h = h + 0.1 * hidden
+    h = L.elu(h)
+    x_out = L.deconv2d(ctx, "x_dec", h, cfg.channels, filter_size=sks,
+                       stride=(2, 2))
+    return jnp.clip((x_out + 0.5) * 256.0, 0.0, 255.0)

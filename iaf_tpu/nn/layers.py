@@ -1,0 +1,281 @@
+"""Weight-normalized layers with data-dependent init, and masked AR layers.
+
+Reference parity: ``tf_utils/layers.py`` — ``conv2d``, ``deconv2d``, ``nin``,
+``ar_conv2d``, ``ar_multiconv2d``, weight-norm data-dependent init
+(Salimans & Kingma 2016) — and the Theano mirrors in ``graphy/nodes/conv.py``
+/ ``graphy/nodes/ar.py``. (Reference mount empty at survey time; symbols
+cited per SURVEY.md §2.1, §3.5.)
+
+TPU-native design: instead of TF variable scopes + an ``init`` graph, a
+``Ctx`` object threads a nested params pytree and an RNG key through a single
+pure forward function. The same forward code runs in two modes:
+
+  * init mode  — parameters are created on first use; weight-norm layers run
+    the conv with l2-normalized V, measure per-channel activation moments of
+    the *actual sample batch*, and calibrate ``g`` and ``b`` from them
+    (SURVEY.md §3.5: "without this, the 3.11 target is at risk"). The whole
+    init pass is jittable: ``init_params = jit(lambda rng, x: ...)``.
+  * apply mode — parameters are read; missing parameters are an error.
+
+RNG keys are derived from the step key by folding a stable hash of the layer
+path, so the key stream is independent of device layout (SURVEY.md §5.2).
+
+Masks are numpy constants folded into the weights at trace time; the hot
+masked-conv path has a Pallas kernel in ``iaf_tpu.ops`` with this module's
+XLA formulation as its correctness oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from iaf_tpu.core.rng import fold_name
+from iaf_tpu.nn.masks import get_conv_ar_mask, get_linear_ar_mask
+
+Params = dict[str, Any]
+
+_CONV_DN = ("NHWC", "HWIO", "NHWC")
+
+
+class Ctx:
+    """Threads params + rng through a pure forward pass.
+
+    All ``Ctx`` objects of one pass share the same root params dict; ``scope``
+    only extends the name path. In init mode the root dict is mutated while
+    tracing (fine under jit: it becomes part of the returned pytree).
+    """
+
+    __slots__ = ("root", "rng", "init", "path", "ema")
+
+    def __init__(self, params: Params | None = None, rng: jax.Array | None = None,
+                 init: bool = False, path: str = ""):
+        self.root: Params = {} if params is None else params
+        self.rng = rng
+        self.init = init
+        self.path = path
+
+    def scope(self, name: str) -> "Ctx":
+        c = Ctx.__new__(Ctx)
+        c.root, c.rng, c.init = self.root, self.rng, self.init
+        c.path = f"{self.path}/{name}" if self.path else name
+        return c
+
+    # -- params ------------------------------------------------------------
+    def _node(self, create: bool) -> Params:
+        node = self.root
+        for part in self.path.split("/") if self.path else []:
+            if part not in node:
+                if not create:
+                    raise KeyError(f"missing param scope {self.path!r}")
+                node[part] = {}
+            node = node[part]
+        return node
+
+    def param(self, name: str, shape: Sequence[int],
+              init_fn: Callable[[jax.Array, Sequence[int]], jax.Array]) -> jax.Array:
+        if self.init:
+            node = self._node(create=True)
+            if name not in node:
+                node[name] = init_fn(self.key(name), shape)
+            return node[name]
+        node = self._node(create=False)
+        if name not in node:
+            raise KeyError(f"missing param {self.path}/{name}")
+        return node[name]
+
+    def set_param(self, name: str, value: jax.Array) -> None:
+        assert self.init, "set_param is init-mode only (data-dependent init)"
+        self._node(create=True)[name] = value
+
+    # -- rng ---------------------------------------------------------------
+    def key(self, name: str) -> jax.Array:
+        if self.rng is None:
+            raise ValueError(f"Ctx has no rng but {self.path}/{name} asked for one")
+        return fold_name(self.rng, f"{self.path}/{name}")
+
+
+def normal_init(stddev: float):
+    def init(key, shape):
+        return stddev * jax.random.normal(key, tuple(shape), jnp.float32)
+    return init
+
+
+def zeros_init(key, shape):
+    return jnp.zeros(tuple(shape), jnp.float32)
+
+
+def ones_init(key, shape):
+    return jnp.ones(tuple(shape), jnp.float32)
+
+
+def elu(x):
+    return jax.nn.elu(x)
+
+
+# ---------------------------------------------------------------------------
+# Weight-normalized conv / deconv / dense with data-dependent init
+# ---------------------------------------------------------------------------
+
+def _wn_direction(V: jax.Array, axes: tuple[int, ...], mask=None) -> jax.Array:
+    """l2-normalize V over ``axes`` (per output unit), then apply the AR mask.
+    Mask-after-normalize matches the reference's ``ar_conv2d`` ordering."""
+    v = V * jax.lax.rsqrt(jnp.sum(jnp.square(V), axis=axes, keepdims=True) + 1e-12)
+    if mask is not None:
+        v = v * mask
+    return v
+
+
+def _data_dep_out(ctx: Ctx, x_init: jax.Array, axes: tuple[int, ...],
+                  init_scale: float) -> jax.Array:
+    """Calibrate g,b from activation moments of the init batch and return the
+    normalized activations (SURVEY.md §3.5)."""
+    m = jnp.mean(x_init, axis=axes)
+    v = jnp.var(x_init, axis=axes)
+    scale = init_scale * jax.lax.rsqrt(v + 1e-10)
+    ctx.set_param("g", scale)
+    ctx.set_param("b", -m * scale)
+    return (x_init - m) * scale
+
+
+def conv2d(ctx: Ctx, name: str, x: jax.Array, num_filters: int,
+           filter_size=(3, 3), stride=(1, 1), pad: str = "SAME",
+           init_scale: float = 1.0, mask: np.ndarray | None = None) -> jax.Array:
+    """Weight-normalized 2-D conv, NHWC. ``mask`` (HWIO 0/1) makes it an AR
+    conv (``tf_utils/layers.py — conv2d / ar_conv2d``)."""
+    sub = ctx.scope(name)
+    n_in = x.shape[-1]
+    vshape = (filter_size[0], filter_size[1], n_in, num_filters)
+    V = sub.param("V", vshape, normal_init(0.05))
+    mask_c = None if mask is None else jnp.asarray(mask, V.dtype)
+
+    def run(kernel):
+        return jax.lax.conv_general_dilated(
+            x, kernel, window_strides=tuple(stride), padding=pad,
+            dimension_numbers=_CONV_DN)
+
+    if ctx.init:
+        x_init = run(_wn_direction(V, (0, 1, 2), mask_c))
+        return _data_dep_out(sub, x_init, (0, 1, 2), init_scale)
+    g = sub.param("g", (num_filters,), ones_init)
+    b = sub.param("b", (num_filters,), zeros_init)
+    W = _wn_direction(V, (0, 1, 2), mask_c) * g
+    return run(W) + b
+
+
+def deconv2d(ctx: Ctx, name: str, x: jax.Array, num_filters: int,
+             filter_size=(3, 3), stride=(2, 2), pad: str = "SAME",
+             init_scale: float = 1.0) -> jax.Array:
+    """Weight-normalized transposed conv (``tf_utils/layers.py — deconv2d``)."""
+    sub = ctx.scope(name)
+    n_in = x.shape[-1]
+    vshape = (filter_size[0], filter_size[1], n_in, num_filters)
+    V = sub.param("V", vshape, normal_init(0.05))
+
+    def run(kernel):
+        return jax.lax.conv_transpose(
+            x, kernel, strides=tuple(stride), padding=pad,
+            dimension_numbers=_CONV_DN)
+
+    if ctx.init:
+        x_init = run(_wn_direction(V, (0, 1, 2)))
+        return _data_dep_out(sub, x_init, (0, 1, 2), init_scale)
+    g = sub.param("g", (num_filters,), ones_init)
+    b = sub.param("b", (num_filters,), zeros_init)
+    return run(_wn_direction(V, (0, 1, 2)) * g) + b
+
+
+def dense(ctx: Ctx, name: str, x: jax.Array, n_out: int,
+          init_scale: float = 1.0, mask: np.ndarray | None = None) -> jax.Array:
+    """Weight-normalized dense layer over the last axis; ``mask`` ([in,out])
+    makes it a MADE AR layer (``graphy/nodes/ar.py`` dense path)."""
+    sub = ctx.scope(name)
+    n_in = x.shape[-1]
+    V = sub.param("V", (n_in, n_out), normal_init(0.05))
+    mask_c = None if mask is None else jnp.asarray(mask, V.dtype)
+
+    def run(kernel):
+        return jnp.matmul(x, kernel, preferred_element_type=jnp.float32)
+
+    if ctx.init:
+        x_init = run(_wn_direction(V, (0,), mask_c))
+        red = tuple(range(x_init.ndim - 1))
+        return _data_dep_out(sub, x_init, red, init_scale)
+    g = sub.param("g", (n_out,), ones_init)
+    b = sub.param("b", (n_out,), zeros_init)
+    return run(_wn_direction(V, (0,), mask_c) * g) + b
+
+
+def nin(ctx: Ctx, name: str, x: jax.Array, n_out: int,
+        init_scale: float = 1.0) -> jax.Array:
+    """1x1 'network-in-network' conv as a dense over channels
+    (``tf_utils/layers.py — nin``)."""
+    return dense(ctx, name, x, n_out, init_scale=init_scale)
+
+
+# ---------------------------------------------------------------------------
+# Autoregressive stacks
+# ---------------------------------------------------------------------------
+
+def ar_conv2d(ctx: Ctx, name: str, x: jax.Array, num_filters: int,
+              filter_size=(3, 3), stride=(1, 1), zerodiagonal: bool = True,
+              init_scale: float = 1.0) -> jax.Array:
+    """Masked AR conv (``tf_utils/layers.py — ar_conv2d``). Raster-order
+    spatial causality + channel-order MADE mask at the center tap."""
+    mask = get_conv_ar_mask(filter_size[0], filter_size[1], x.shape[-1],
+                            num_filters, zerodiagonal)
+    return conv2d(ctx, name, x, num_filters, filter_size=filter_size,
+                  stride=stride, init_scale=init_scale, mask=mask)
+
+
+def ar_multiconv2d(ctx: Ctx, name: str, x: jax.Array, context: jax.Array,
+                   n_h: Sequence[int], n_out: Sequence[int],
+                   filter_size=(3, 3), nl=elu) -> list[jax.Array]:
+    """Small masked-conv net computing the IAF (m, s) heads
+    (``tf_utils/layers.py — ar_multiconv2d``).
+
+    First hidden layer has ``zerodiagonal=True`` so every output depends only
+    on strictly-preceding inputs end-to-end; later layers may use the
+    diagonal. ``context`` is added after the first layer.
+    """
+    sub = ctx.scope(name)
+    h = x
+    for i, size in enumerate(n_h):
+        h = ar_conv2d(sub, f"layer_{i}", h, size, filter_size=filter_size,
+                      zerodiagonal=(i == 0))
+        if i == 0:
+            h = h + context
+        h = nl(h)
+    # NOTE: the reference scales these heads by 0.1 *in the model*
+    # (``IAFLayer.down — arw_mean, arw_logsd = x[0]*0.1, x[1]*0.1``), so the
+    # heads themselves use the default init scale.
+    return [
+        ar_conv2d(sub, f"layer_out_{i}", h, size, filter_size=filter_size,
+                  zerodiagonal=False)
+        for i, size in enumerate(n_out)
+    ]
+
+
+def ar_multidense(ctx: Ctx, name: str, x: jax.Array, context: jax.Array | None,
+                  n_h: Sequence[int], n_out: Sequence[int], nl=elu) -> list[jax.Array]:
+    """Dense MADE stack for vector latents (Theano MNIST path,
+    ``graphy/nodes/ar.py`` masked MLP)."""
+    sub = ctx.scope(name)
+    n_z = x.shape[-1]
+    h = x
+    n_prev = n_z
+    for i, size in enumerate(n_h):
+        mask = get_linear_ar_mask(n_prev, size, zerodiagonal=(i == 0))
+        h = dense(sub, f"layer_{i}", h, size, mask=mask)
+        if i == 0 and context is not None:
+            h = h + context
+        h = nl(h)
+        n_prev = size
+    outs = []
+    for i, size in enumerate(n_out):
+        mask = get_linear_ar_mask(n_prev, size, zerodiagonal=False)
+        outs.append(dense(sub, f"layer_out_{i}", h, size, mask=mask))
+    return outs

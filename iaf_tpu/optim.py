@@ -1,0 +1,84 @@
+"""Adamax + Polyak (EMA) parameter averaging, reimplemented device-side.
+
+Reference parity: ``tf_utils/adamax.py — class AdamaxOptimizer``
+(``_create_slots``, ``_apply_dense``: m <- b1*m + (1-b1)*g;
+u <- max(b2*u, |g|); theta <- theta - lr * m / (u + eps), with NO bias
+correction) and ``tf_train.py``'s ``tf.train.ExponentialMovingAverage``
+Polyak shadow. (Reference mount empty at survey time; SURVEY.md §2.1.)
+
+TPU-native: one jitted pytree-mapped update (the train step donates params /
+opt state / ema so XLA updates in place); optional bias correction and global
+grad clipping are config-gated extensions, both OFF by default for parity.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class AdamaxState(NamedTuple):
+    step: jax.Array   # int32 scalar
+    m: Any            # first-moment pytree
+    u: Any            # exponentially-weighted infinity norm pytree
+    ema: Any          # Polyak-averaged params pytree
+
+
+def init_state(params) -> AdamaxState:
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    return AdamaxState(
+        step=jnp.zeros((), jnp.int32),
+        m=zeros,
+        u=jax.tree.map(jnp.zeros_like, params),
+        ema=jax.tree.map(lambda p: p, params),
+    )
+
+
+def apply_updates(
+    params, grads, state: AdamaxState, *,
+    lr: float, beta1: float = 0.9, beta2: float = 0.999, eps: float = 1e-8,
+    polyak_decay: float = 0.999, bias_correction: bool = False,
+    grad_clip: float = 0.0,
+) -> tuple[Any, AdamaxState]:
+    """One fused Adamax + Polyak step. Returns (new_params, new_state)."""
+    step = state.step + 1
+    if grad_clip > 0.0:
+        gnorm = jnp.sqrt(sum(jnp.sum(jnp.square(g))
+                             for g in jax.tree.leaves(grads)))
+        scale = jnp.minimum(1.0, grad_clip / (gnorm + 1e-12))
+        grads = jax.tree.map(lambda g: g * scale, grads)
+
+    if bias_correction:
+        # Paper-exact Adamax (Kingma & Ba 2015 Alg. 2): lr / (1 - b1^t).
+        lr_t = lr / (1.0 - beta1 ** step.astype(jnp.float32))
+    else:
+        lr_t = lr  # upstream adamax.py applies none
+
+    def upd(p, g, m, u):
+        m_t = beta1 * m + (1.0 - beta1) * g
+        u_t = jnp.maximum(beta2 * u, jnp.abs(g))
+        p_t = p - lr_t * m_t / (u_t + eps)
+        return p_t, m_t, u_t
+
+    flat_p, treedef = jax.tree.flatten(params)
+    flat_g = treedef.flatten_up_to(grads)
+    flat_m = treedef.flatten_up_to(state.m)
+    flat_u = treedef.flatten_up_to(state.u)
+    flat_e = treedef.flatten_up_to(state.ema)
+
+    new_p, new_m, new_u, new_e = [], [], [], []
+    for p, g, m, u, e in zip(flat_p, flat_g, flat_m, flat_u, flat_e):
+        p_t, m_t, u_t = upd(p, g, m, u)
+        new_p.append(p_t)
+        new_m.append(m_t)
+        new_u.append(u_t)
+        # Polyak shadow tracks the *post-update* params, like
+        # tf.train.ExponentialMovingAverage applied after apply_gradients.
+        new_e.append(polyak_decay * e + (1.0 - polyak_decay) * p_t)
+
+    unflatten = treedef.unflatten
+    return unflatten(new_p), AdamaxState(
+        step=step, m=unflatten(new_m), u=unflatten(new_u),
+        ema=unflatten(new_e))
