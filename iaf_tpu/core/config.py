@@ -76,6 +76,11 @@ class Config:
     ar_kind: str = "conv"             # conv | dense (dense = MNIST MADE path)
     kernel_size: int = 3              # AR/resnet conv filter size
     stem_kernel_size: int = 5         # stride-2 stem conv/deconv filter size
+    # Data-dependent init scale for the stats convs (up_conv1/down_conv1):
+    # posterior/prior logsd heads start near 0 so sigma ~ 1 at init. Raw
+    # unit-variance logsd activations give exp() tails that compound across
+    # stacked stochastic layers into f32 overflow (PixelCNN++-style 0.1).
+    stat_init_scale: float = 0.1
 
     # --- objective / likelihood ---
     likelihood: str = "dlogistic"     # dlogistic | bernoulli (MNIST)

@@ -1,0 +1,136 @@
+"""Datasets: CIFAR-10 / MNIST loaders plus a deterministic synthetic set.
+
+Reference parity: ``tf_utils/data_utils.py`` (CIFAR-10 download/extract to
+numpy + TF input queues) and the Theano-side MNIST loader with dynamic
+binarization (SURVEY.md §2.1/§2.2). TPU-native replacement: plain numpy
+arrays on the host, a per-host sharded iterator (each process sees only its
+``process_index`` slice), and ``jax.device_put`` with a batch sharding in
+``iaf_tpu.data.feed``.
+
+The build environment has zero egress, so ``load_dataset`` falls back to a
+deterministic synthetic dataset with CIFAR-like statistics when the real
+archives are absent (download is attempted once if a URL is reachable).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import pickle
+import tarfile
+import urllib.request
+from typing import NamedTuple
+
+import numpy as np
+
+CIFAR_URL = "https://www.cs.toronto.edu/~kriz/cifar-10-python.tar.gz"
+
+
+class Dataset(NamedTuple):
+    train_x: np.ndarray  # uint8 [N, H, W, C]
+    train_y: np.ndarray  # int32 [N]
+    test_x: np.ndarray
+    test_y: np.ndarray
+
+
+def _try_download(url: str, dest: str) -> bool:
+    try:
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        urllib.request.urlretrieve(url, dest)  # noqa: S310
+        return True
+    except Exception:
+        return False
+
+
+def load_cifar10(data_dir: str) -> Dataset | None:
+    """CIFAR-10 from the python-version tarball (download if reachable)."""
+    tgz = os.path.join(data_dir, "cifar-10-python.tar.gz")
+    extracted = os.path.join(data_dir, "cifar-10-batches-py")
+    if not os.path.isdir(extracted):
+        if not os.path.isfile(tgz) and not _try_download(CIFAR_URL, tgz):
+            return None
+        with tarfile.open(tgz, "r:gz") as f:
+            f.extractall(data_dir)  # noqa: S202
+
+    def _batch(name):
+        with open(os.path.join(extracted, name), "rb") as f:
+            d = pickle.load(f, encoding="bytes")
+        x = d[b"data"].reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+        return x.astype(np.uint8), np.asarray(d[b"labels"], np.int32)
+
+    xs, ys = zip(*[_batch(f"data_batch_{i}") for i in range(1, 6)])
+    test_x, test_y = _batch("test_batch")
+    return Dataset(np.concatenate(xs), np.concatenate(ys), test_x, test_y)
+
+
+def load_mnist(data_dir: str) -> Dataset | None:
+    """MNIST from idx files if present (zero-egress: no hard dependency)."""
+    names = ["train-images-idx3-ubyte", "train-labels-idx1-ubyte",
+             "t10k-images-idx3-ubyte", "t10k-labels-idx1-ubyte"]
+    paths = [os.path.join(data_dir, n) for n in names]
+    if not all(os.path.isfile(p) for p in paths):
+        return None
+
+    def _images(p):
+        with open(p, "rb") as f:
+            raw = f.read()
+        n = int.from_bytes(raw[4:8], "big")
+        return np.frombuffer(raw, np.uint8, offset=16).reshape(n, 28, 28, 1)
+
+    def _labels(p):
+        with open(p, "rb") as f:
+            raw = f.read()
+        return np.frombuffer(raw, np.uint8, offset=8).astype(np.int32)
+
+    return Dataset(_images(paths[0]), _labels(paths[1]),
+                   _images(paths[2]), _labels(paths[3]))
+
+
+def synthetic_dataset(image_size: int, channels: int, n_train: int = 4096,
+                      n_test: int = 1024, seed: int = 0) -> Dataset:
+    """Deterministic CIFAR-shaped synthetic data: smooth random low-frequency
+    fields quantized to uint8, so bits/dim and throughput are meaningful
+    without network access."""
+    rng = np.random.RandomState(seed)
+
+    def make(n):
+        base = rng.randn(n, 4, 4, channels).astype(np.float32)
+        # bilinear upsample to image_size for spatial correlation
+        img = base
+        while img.shape[1] < image_size:
+            h = img.shape[1] * 2
+            idx = np.linspace(0, img.shape[1] - 1, h).astype(np.float32)
+            lo = np.floor(idx).astype(np.int32)
+            hi = np.minimum(lo + 1, img.shape[1] - 1)
+            w = (idx - lo)[None, :, None, None]
+            img = img[:, lo] * (1 - w) + img[:, hi] * w
+            w2 = (idx - lo)[None, None, :, None]
+            img = img[:, :, lo] * (1 - w2) + img[:, :, hi] * w2
+        img = img[:, :image_size, :image_size]
+        img = (img - img.min()) / (img.max() - img.min() + 1e-9)
+        noise = rng.uniform(0, 16, img.shape)
+        return np.clip(img * 239 + noise, 0, 255).astype(np.uint8)
+
+    return Dataset(make(n_train), np.zeros(n_train, np.int32),
+                   make(n_test), np.zeros(n_test, np.int32))
+
+
+def load_dataset(name: str, data_dir: str, image_size: int = 32,
+                 channels: int = 3) -> tuple[Dataset, bool]:
+    """Returns (dataset, is_real). Falls back to synthetic when the real
+    archives are unavailable (zero-egress environments)."""
+    if name == "cifar10":
+        ds = load_cifar10(data_dir)
+        if ds is not None:
+            return ds, True
+    elif name == "mnist":
+        ds = load_mnist(data_dir)
+        if ds is not None:
+            return ds, True
+    elif name != "synthetic":
+        raise ValueError(f"unknown dataset {name!r}")
+    return synthetic_dataset(image_size, channels), False
+
+
+def fingerprint(arr: np.ndarray) -> str:
+    return hashlib.sha256(arr.tobytes()).hexdigest()[:16]

@@ -55,6 +55,7 @@ class ModelOut(NamedTuple):
     kl_obj: jax.Array        # scalar mean free-bits KL (training side)
     kl_cost: jax.Array       # scalar mean raw KL (eval side)
     log_pxz: jax.Array       # scalar mean reconstruction term
+    log_w: jax.Array         # per-sample log importance weights [B*k]
     x_out: jax.Array         # decoded means in [-0.5, 0.5) domain
 
 
@@ -75,7 +76,8 @@ def iaf_layer_up(cfg: Config, ctx: Ctx, h: jax.Array) -> tuple[jax.Array, LayerS
     zs, hs = cfg.z_size, cfg.h_size
     ks = (cfg.kernel_size, cfg.kernel_size)
     x = L.elu(h)
-    x = L.conv2d(ctx, "up_conv1", x, 2 * zs + 2 * hs, filter_size=ks)
+    x = L.conv2d(ctx, "up_conv1", x, 2 * zs + 2 * hs, filter_size=ks,
+                 init_scale=cfg.stat_init_scale)
     qz_mean, qz_logsd, up_context, hidden = _split(x, [zs, zs, hs, hs])
     hidden = L.elu(hidden)
     hidden = L.conv2d(ctx, "up_conv3", hidden, hs, filter_size=ks)
@@ -124,7 +126,8 @@ def iaf_layer_down(
     zs, hs = cfg.z_size, cfg.h_size
     ks = (cfg.kernel_size, cfg.kernel_size)
     x = L.elu(h)
-    x = L.conv2d(ctx, "down_conv1", x, 4 * zs + 2 * hs, filter_size=ks)
+    x = L.conv2d(ctx, "down_conv1", x, 4 * zs + 2 * hs, filter_size=ks,
+                 init_scale=cfg.stat_init_scale)
     pz_mean, pz_logsd, rz_mean, rz_logsd, down_context, h_det = _split(
         x, [zs, zs, zs, zs, hs, hs])
     prior = DiagonalGaussian(pz_mean, 2.0 * pz_logsd)
@@ -197,7 +200,9 @@ def cvae_forward(cfg: Config, ctx: Ctx, x: jax.Array, mode: str = "train",
             stats[name] = st
 
     # Top-down from a learned per-channel bias (``h_top`` in tf_train.py).
-    h_top = ctx.param("h_top", (cfg.h_size,), L.zeros_init)
+    # Small random init (not zeros): an exactly-zero h_top makes the topmost
+    # down_conv1's data-dependent init degenerate (zero activation variance).
+    h_top = ctx.param("h_top", (cfg.h_size,), L.normal_init(0.05))
     dec_hw = cfg.image_size // 2
     batch = x.shape[0]
     h = jnp.broadcast_to(h_top, (batch, dec_hw, dec_hw, cfg.h_size))
@@ -232,6 +237,7 @@ def cvae_forward(cfg: Config, ctx: Ctx, x: jax.Array, mode: str = "train",
         kl_obj=jnp.mean(kl_obj_total),
         kl_cost=jnp.mean(kl_cost_total),
         log_pxz=jnp.mean(log_pxz),
+        log_w=log_pxz - kl_cost_total,
         x_out=x_out,
     )
 
@@ -261,7 +267,7 @@ def cvae_sample(cfg: Config, params, rng: jax.Array, num: int,
     sks = (cfg.stem_kernel_size, cfg.stem_kernel_size)
     ctx = Ctx(params=params, rng=rng, init=False)
     names = _layer_names(cfg)
-    h_top = ctx.param("h_top", (hs,), L.zeros_init)
+    h_top = ctx.param("h_top", (hs,), L.normal_init(0.05))
     dec_hw = cfg.image_size // 2
     h = jnp.broadcast_to(h_top, (num, dec_hw, dec_hw, hs))
     for name in reversed(names):

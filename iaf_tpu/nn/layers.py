@@ -135,7 +135,10 @@ def _data_dep_out(ctx: Ctx, x_init: jax.Array, axes: tuple[int, ...],
     normalized activations (SURVEY.md §3.5)."""
     m = jnp.mean(x_init, axis=axes)
     v = jnp.var(x_init, axis=axes)
-    scale = init_scale * jax.lax.rsqrt(v + 1e-10)
+    # The 1e3 cap guards degenerate zero-variance channels (an all-zero
+    # input, or a fully-masked first AR channel group): without it g blows
+    # up to 1/sqrt(1e-10) = 1e5 and the first optimizer steps NaN out.
+    scale = jnp.minimum(init_scale * jax.lax.rsqrt(v + 1e-10), 1e3)
     ctx.set_param("g", scale)
     ctx.set_param("b", -m * scale)
     return (x_init - m) * scale

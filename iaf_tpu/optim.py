@@ -32,7 +32,9 @@ def init_state(params) -> AdamaxState:
         step=jnp.zeros((), jnp.int32),
         m=zeros,
         u=jax.tree.map(jnp.zeros_like, params),
-        ema=jax.tree.map(lambda p: p, params),
+        # jnp.copy, not identity: the EMA shadow must not alias the params
+        # buffers or donating both to the train step double-donates.
+        ema=jax.tree.map(jnp.copy, params),
     )
 
 

@@ -1,0 +1,75 @@
+"""The compiled data-parallel training step.
+
+Replaces the reference's in-graph tower replication + ``average_grads`` +
+per-step ``sess.run`` hop (``tf_train.py``/``tf_utils/common.py``,
+SURVEY.md §3.1) with ONE jitted SPMD program: the global batch is sharded
+over the mesh's ``data`` axis, parameters and optimizer state are
+replicated, and XLA inserts the gradient allreduce over ICI/DCN during
+sharding propagation. Params/opt-state buffers are donated so Adamax+Polyak
+update in place.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from iaf_tpu import optim
+from iaf_tpu.core.config import Config
+from iaf_tpu.models import cvae
+from iaf_tpu.parallel.mesh import DATA_AXIS, activation_sharding
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt: optim.AdamaxState
+
+
+def loss_fn(cfg: Config, params, rng, batch):
+    out = cvae.apply_fn(cfg, params, rng, batch, mode="train")
+    return out.loss, out
+
+
+def train_step(cfg: Config, state: TrainState, rng, batch):
+    (loss, out), grads = jax.value_and_grad(
+        partial(loss_fn, cfg), has_aux=True)(state.params, rng, batch)
+    params, opt = optim.apply_updates(
+        state.params, grads, state.opt,
+        lr=cfg.learning_rate, beta1=cfg.beta1, beta2=cfg.beta2,
+        eps=cfg.adamax_eps, polyak_decay=cfg.polyak_decay,
+        bias_correction=cfg.bias_correction, grad_clip=cfg.grad_clip)
+    metrics = {
+        "loss": loss,
+        "bits_per_dim": out.bits_per_dim,
+        "kl_obj": out.kl_obj,
+        "kl_cost": out.kl_cost,
+        "log_pxz": out.log_pxz,
+    }
+    return TrainState(params, opt), metrics
+
+
+def make_train_step(cfg: Config, mesh: Mesh):
+    """Compile the train step with data-sharded batch and replicated,
+    donated params/opt state."""
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(DATA_AXIS))
+
+    def step(state, rng, batch):
+        with activation_sharding(mesh):
+            return train_step(cfg, state, rng, batch)
+
+    return jax.jit(
+        step,
+        in_shardings=(repl, repl, data),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+
+def init_train_state(cfg: Config, rng, sample_batch) -> TrainState:
+    params = cvae.init_params(cfg, rng, sample_batch)
+    return TrainState(params=params, opt=optim.init_state(params))

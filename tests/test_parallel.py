@@ -1,0 +1,153 @@
+"""Multi-device tests on the 8 fake CPU devices (SURVEY.md §4.6): mesh
+building, data-parallel gradient equivalence, sharded IW logsumexp, and the
+per-host data sharding function."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from iaf_tpu.core.config import Config
+from iaf_tpu.data import feed
+from iaf_tpu.models import cvae
+from iaf_tpu.parallel import eval_step as ev
+from iaf_tpu.parallel import train_step as ts
+from iaf_tpu.parallel.mesh import make_mesh
+
+
+def tiny_cfg(**kw):
+    base = dict(dataset="synthetic", image_size=8, channels=3, z_size=2,
+                h_size=8, depth=1, num_blocks=1, depth_ar=1, ar_hidden_size=8,
+                kl_min=0.0, batch_size=8, learning_rate=0.01, seed=0)
+    base.update(kw)
+    return Config(**base)
+
+
+def fake_batch(cfg, n, seed=0):
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, (n, cfg.image_size, cfg.image_size,
+                                cfg.channels)).astype(np.uint8)
+
+
+def test_mesh_shapes():
+    cfg = tiny_cfg()
+    mesh = make_mesh(cfg)
+    assert mesh.shape == {"data": 8, "model": 1}
+    mesh2 = make_mesh(cfg.replace(mesh_model=2))
+    assert mesh2.shape == {"data": 4, "model": 2}
+
+
+def test_data_parallel_grads_match_single_device():
+    """psum-averaged DP grads == single-device grads on the full batch
+    (SURVEY.md §4.6, atol 1e-5)."""
+    cfg = tiny_cfg()
+    mesh = make_mesh(cfg)
+    x = fake_batch(cfg, 8)
+    params = cvae.init_params(cfg, jax.random.PRNGKey(0), x)
+    state = ts.TrainState(params, __import__("iaf_tpu.optim",
+                                             fromlist=["optim"]).init_state(params))
+    key = jax.random.PRNGKey(3)
+
+    def grads_of(p, batch):
+        def loss_fn(q):
+            return cvae.apply_fn(cfg, q, key, batch).loss
+        return jax.grad(loss_fn)(p)
+
+    # single device
+    g_single = grads_of(params, jnp.asarray(x))
+    # sharded over 8 devices
+    xs = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P("data")))
+    g_dp = jax.jit(grads_of,
+                   in_shardings=(NamedSharding(mesh, P()),
+                                 NamedSharding(mesh, P("data"))),
+                   out_shardings=NamedSharding(mesh, P()))(params, xs)
+    for a, b in zip(jax.tree.leaves(g_single), jax.tree.leaves(g_dp)):
+        # identical math, different reduction order across shards
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-3)
+
+
+def test_train_step_runs_and_improves():
+    cfg = tiny_cfg()
+    mesh = make_mesh(cfg)
+    x = fake_batch(cfg, 8)
+    state = ts.init_train_state(cfg, jax.random.PRNGKey(0), x)
+    step = ts.make_train_step(cfg, mesh)
+    xg = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P("data")))
+    losses = []
+    for i in range(20):
+        state, metrics = step(state, jax.random.PRNGKey(i), xg)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    # EMA shadow must differ from raw params after steps
+    diff = sum(float(jnp.sum(jnp.abs(a - b))) for a, b in zip(
+        jax.tree.leaves(state.params), jax.tree.leaves(state.opt.ema)))
+    assert diff > 0
+
+
+def test_sharded_iw_eval_matches_unsharded():
+    """Sharded k logsumexp == single-device bound with the same total k and
+    matched per-shard sample keys (SURVEY.md §4.6)."""
+    cfg = tiny_cfg()
+    mesh = make_mesh(cfg)
+    x = fake_batch(cfg, 2, seed=7)
+    params = cvae.init_params(cfg, jax.random.PRNGKey(0), x)
+    k = 32
+    evf = ev.make_eval_step(cfg, mesh, k=k)
+    bound_sharded = np.asarray(evf(params, jax.random.PRNGKey(9),
+                                   jnp.asarray(x)))
+    assert bound_sharded.shape == (2,)
+
+    # Unsharded oracle: replicate each shard's sampling (fold_in shard id,
+    # k_local samples) and combine all k log-weights on one device.
+    k_local = k // 8
+    log_ws = []
+    for shard in range(8):
+        key = jax.random.fold_in(jax.random.PRNGKey(9), shard)
+        out = cvae.apply_fn(cfg, params, key, jnp.asarray(x), mode="eval",
+                            k=k_local)
+        log_ws.append(np.asarray(out.log_w).reshape(2, k_local))
+    log_w = np.concatenate(log_ws, axis=1)  # [2, k]
+    m = log_w.max(axis=1, keepdims=True)
+    want = -(np.log(np.exp(log_w - m).sum(axis=1)) + m[:, 0] - np.log(k))
+    np.testing.assert_allclose(bound_sharded, want, rtol=1e-5, atol=1e-5)
+
+
+def test_iw_bound_beats_elbo_on_same_params():
+    cfg = tiny_cfg()
+    mesh = make_mesh(cfg)
+    x = fake_batch(cfg, 2, seed=3)
+    params = cvae.init_params(cfg, jax.random.PRNGKey(0), x)
+    evf_k = ev.make_eval_step(cfg, mesh, k=64)
+    bound_k = float(np.mean(np.asarray(
+        evf_k(params, jax.random.PRNGKey(1), jnp.asarray(x)))))
+    elbo_f = ev.make_batch_sharded_elbo(cfg, mesh, k=1)
+    x8 = np.repeat(np.asarray(x), 4, axis=0)  # batch divisible by 8
+    elbo = float(np.mean(np.asarray(
+        elbo_f(params, jax.random.PRNGKey(1), jnp.asarray(x8)))))
+    assert bound_k < elbo + 0.5  # IW bound is tighter (allow MC slack)
+
+
+def test_host_shard_indices_partition():
+    rng_mk = lambda: np.random.RandomState(42)
+    all_idx = [feed.host_shard_indices(64, p, 4, rng_mk()) for p in range(4)]
+    flat = np.concatenate(all_idx)
+    assert len(flat) == 64
+    assert len(np.unique(flat)) == 64  # disjoint cover
+
+
+def test_batch_iterator_shapes_and_determinism():
+    imgs = np.arange(32 * 4 * 4 * 3, dtype=np.uint8).reshape(32, 4, 4, 3)
+    it1 = feed.batch_iterator(imgs, global_batch=8, seed=1,
+                              process_index=0, process_count=2)
+    it2 = feed.batch_iterator(imgs, global_batch=8, seed=1,
+                              process_index=0, process_count=2)
+    b1, b2 = next(it1), next(it2)
+    assert b1.shape == (4, 4, 4, 3)
+    np.testing.assert_array_equal(b1, b2)
+    # different processes see disjoint halves in epoch 0
+    it3 = feed.batch_iterator(imgs, global_batch=8, seed=1,
+                              process_index=1, process_count=2)
+    b3 = next(it3)
+    assert not np.array_equal(b1, b3)
