@@ -98,8 +98,11 @@ class Config:
     total_steps: int = 1_000_000
     seed: int = 123
 
-    # --- precision ---
+    # --- precision / kernels ---
     compute_dtype: str = "float32"    # bfloat16 opt-in, gated on bits/dim parity
+    # Pallas kernel selection: "auto" = Pallas on TPU, XLA elsewhere;
+    # "pallas" forces Pallas (interpret mode off-TPU); "xla" forces the twins.
+    kernels: str = "auto"
 
     # --- parallelism (new; reference had in-graph DP towers only) ---
     num_gpus: int = 1                 # reference flag kept for CLI parity (= data shards)

@@ -37,6 +37,11 @@ from iaf_tpu.distributions import (
 )
 from iaf_tpu.nn import layers as L
 from iaf_tpu.nn.layers import Ctx
+from iaf_tpu.parallel.mesh import constrain
+
+# Activation sharding at block boundaries: batch over "data", channels over
+# the reserved "model" axis (no-op unless a mesh with model>1 is active).
+_ACT_SPEC = ("data", None, None, "model")
 
 LOG2 = 0.6931471805599453
 
@@ -88,11 +93,13 @@ def iaf_flow(cfg: Config, ctx: Ctx, z: jax.Array, context: jax.Array,
              logqs: jax.Array) -> tuple[jax.Array, jax.Array]:
     """One IAF step: masked AR net -> (m, s) heads -> invertible update with
     running log-det-Jacobian folded into ``logqs`` (elementwise)."""
+    from iaf_tpu.ops import use_pallas
     n_h = [cfg.ar_hidden] * cfg.depth_ar
     if cfg.ar_kind == "conv":
         m, s = L.ar_multiconv2d(ctx, "ar1", z, context, n_h,
                                 [cfg.z_size, cfg.z_size],
-                                filter_size=(cfg.kernel_size, cfg.kernel_size))
+                                filter_size=(cfg.kernel_size, cfg.kernel_size),
+                                pallas=(not ctx.init) and use_pallas(cfg.kernels))
     else:  # dense MADE over the channel vector at each position
         m, s = L.ar_multidense(ctx, "ar1", z, context, n_h,
                                [cfg.z_size, cfg.z_size])
@@ -191,12 +198,14 @@ def cvae_forward(cfg: Config, ctx: Ctx, x: jax.Array, mode: str = "train",
         x = jnp.repeat(x, k, axis=0)
 
     h = L.conv2d(ctx, "x_enc", x, cfg.h_size, filter_size=sks, stride=(2, 2))
+    h = constrain(h, _ACT_SPEC)
 
     names = _layer_names(cfg)
     stats: dict[str, LayerStats] = {}
     if mode != "sample":
         for name in names:
             h, st = iaf_layer_up(cfg, ctx.scope(name), h)
+            h = constrain(h, _ACT_SPEC)
             stats[name] = st
 
     # Top-down from a learned per-channel bias (``h_top`` in tf_train.py).
@@ -212,6 +221,7 @@ def cvae_forward(cfg: Config, ctx: Ctx, x: jax.Array, mode: str = "train",
     for name in reversed(names):
         h, kl_obj, kl_cost = iaf_layer_down(
             cfg, ctx.scope(name), h, stats.get(name), mode)
+        h = constrain(h, _ACT_SPEC)
         kl_obj_total = kl_obj_total + kl_obj
         kl_cost_total = kl_cost_total + kl_cost
 
@@ -223,7 +233,11 @@ def cvae_forward(cfg: Config, ctx: Ctx, x: jax.Array, mode: str = "train",
     if mode == "sample":
         log_pxz = jnp.zeros((batch,), jnp.float32)
     else:
-        log_pxz = discretized_logistic(x_out, dec_log_stdv, sample=x)
+        from iaf_tpu.ops import disc_logistic_logp, use_pallas
+        if (not ctx.init) and use_pallas(cfg.kernels):
+            log_pxz = disc_logistic_logp(x_out, dec_log_stdv, x)
+        else:
+            log_pxz = discretized_logistic(x_out, dec_log_stdv, sample=x)
 
     # Training objective: free-bits KL; reported bound: raw KL (k-sample IW).
     loss = jnp.mean(kl_obj_total - log_pxz)

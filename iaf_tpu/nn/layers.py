@@ -146,9 +146,11 @@ def _data_dep_out(ctx: Ctx, x_init: jax.Array, axes: tuple[int, ...],
 
 def conv2d(ctx: Ctx, name: str, x: jax.Array, num_filters: int,
            filter_size=(3, 3), stride=(1, 1), pad: str = "SAME",
-           init_scale: float = 1.0, mask: np.ndarray | None = None) -> jax.Array:
+           init_scale: float = 1.0, mask: np.ndarray | None = None,
+           pallas: bool = False) -> jax.Array:
     """Weight-normalized 2-D conv, NHWC. ``mask`` (HWIO 0/1) makes it an AR
-    conv (``tf_utils/layers.py — conv2d / ar_conv2d``)."""
+    conv (``tf_utils/layers.py — conv2d / ar_conv2d``). ``pallas`` routes
+    stride-1 SAME convs through the Pallas im2col->MXU kernel."""
     sub = ctx.scope(name)
     n_in = x.shape[-1]
     vshape = (filter_size[0], filter_size[1], n_in, num_filters)
@@ -166,6 +168,9 @@ def conv2d(ctx: Ctx, name: str, x: jax.Array, num_filters: int,
     g = sub.param("g", (num_filters,), ones_init)
     b = sub.param("b", (num_filters,), zeros_init)
     W = _wn_direction(V, (0, 1, 2), mask_c) * g
+    if pallas and tuple(stride) == (1, 1) and pad == "SAME":
+        from iaf_tpu.ops import masked_conv2d
+        return masked_conv2d(x, W) + b
     return run(W) + b
 
 
@@ -225,18 +230,20 @@ def nin(ctx: Ctx, name: str, x: jax.Array, n_out: int,
 
 def ar_conv2d(ctx: Ctx, name: str, x: jax.Array, num_filters: int,
               filter_size=(3, 3), stride=(1, 1), zerodiagonal: bool = True,
-              init_scale: float = 1.0) -> jax.Array:
+              init_scale: float = 1.0, pallas: bool = False) -> jax.Array:
     """Masked AR conv (``tf_utils/layers.py — ar_conv2d``). Raster-order
     spatial causality + channel-order MADE mask at the center tap."""
     mask = get_conv_ar_mask(filter_size[0], filter_size[1], x.shape[-1],
                             num_filters, zerodiagonal)
     return conv2d(ctx, name, x, num_filters, filter_size=filter_size,
-                  stride=stride, init_scale=init_scale, mask=mask)
+                  stride=stride, init_scale=init_scale, mask=mask,
+                  pallas=pallas)
 
 
 def ar_multiconv2d(ctx: Ctx, name: str, x: jax.Array, context: jax.Array,
                    n_h: Sequence[int], n_out: Sequence[int],
-                   filter_size=(3, 3), nl=elu) -> list[jax.Array]:
+                   filter_size=(3, 3), nl=elu,
+                   pallas: bool = False) -> list[jax.Array]:
     """Small masked-conv net computing the IAF (m, s) heads
     (``tf_utils/layers.py — ar_multiconv2d``).
 
@@ -248,7 +255,7 @@ def ar_multiconv2d(ctx: Ctx, name: str, x: jax.Array, context: jax.Array,
     h = x
     for i, size in enumerate(n_h):
         h = ar_conv2d(sub, f"layer_{i}", h, size, filter_size=filter_size,
-                      zerodiagonal=(i == 0))
+                      zerodiagonal=(i == 0), pallas=pallas)
         if i == 0:
             h = h + context
         h = nl(h)
@@ -257,7 +264,7 @@ def ar_multiconv2d(ctx: Ctx, name: str, x: jax.Array, context: jax.Array,
     # heads themselves use the default init scale.
     return [
         ar_conv2d(sub, f"layer_out_{i}", h, size, filter_size=filter_size,
-                  zerodiagonal=False)
+                  zerodiagonal=False, pallas=pallas)
         for i, size in enumerate(n_out)
     ]
 

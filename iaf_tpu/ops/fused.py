@@ -1,0 +1,157 @@
+"""Fused elementwise Pallas kernels: the IAF update with running
+log-det-Jacobian reduction, and the discretized-logistic log-likelihood.
+
+North-star obligations (BASELINE.json): "per-example AR transform in IAF
+chain -> fused (z-m)*exp(-s) + logdet accumulation" and "discretized-logistic
+likelihood -> fused sigmoid-difference kernel". Each op is one pallas_call
+per batch element: all elementwise math and the per-example reduction happen
+in VMEM in one pass instead of XLA's elementwise-op chain + separate
+reduction (saves HBM round trips of [B,H,W,C] temporaries).
+
+Gradients: ``jax.custom_vjp`` with analytic backward in plain XLA (the
+backward is elementwise + broadcast; XLA fuses it fine). XLA twins double as
+correctness oracles (SURVEY.md §4.1/§7.4).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interp() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# IAF update (division form): z' = (z - m) * exp(-s); logdet_i = sum_i s
+# ---------------------------------------------------------------------------
+
+def iaf_update_xla(z, m, s):
+    z_new = (z - m) * jnp.exp(-s)
+    sum_s = jnp.sum(s.reshape(s.shape[0], -1), axis=1)
+    return z_new, sum_s
+
+
+def _iaf_kernel(z_ref, m_ref, s_ref, zo_ref, so_ref):
+    s = s_ref[0]
+    z_new = (z_ref[0] - m_ref[0]) * jnp.exp(-s)
+    zo_ref[0] = z_new
+    # per-example scalar: full [B,1] output block stays resident (Mosaic
+    # requires the last-two block dims to tile 8x128 or equal the array);
+    # stores must be vector-shaped, hence the (1,1) reshape.
+    so_ref[pl.ds(pl.program_id(0), 1), :] = jnp.sum(s).reshape(1, 1)
+
+
+def _iaf_pallas(z, m, s):
+    b, h, w, c = z.shape
+    blk = lambda: pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)
+    z_new, sum_s = pl.pallas_call(
+        _iaf_kernel,
+        grid=(b,),
+        in_specs=[blk(), blk(), blk()],
+        out_specs=(blk(),
+                   pl.BlockSpec((b, 1), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((b, h, w, c), z.dtype),
+                   jax.ShapeDtypeStruct((b, 1), z.dtype)),
+        interpret=_interp(),
+    )(z, m, s)
+    return z_new, sum_s[:, 0]
+
+
+@jax.custom_vjp
+def iaf_update(z, m, s):
+    """Fused IAF division update + per-example logdet: returns
+    ((z - m) * exp(-s), sum_hwc(s))."""
+    return _iaf_pallas(z, m, s)
+
+
+def _iaf_fwd(z, m, s):
+    z_new, sum_s = _iaf_pallas(z, m, s)
+    return (z_new, sum_s), (z_new, s)
+
+
+def _iaf_bwd(res, g):
+    z_new, s = res
+    g_z, g_sum = g
+    e = jnp.exp(-s)
+    dz = g_z * e
+    dm = -dz
+    ds = -g_z * z_new + g_sum[:, None, None, None]
+    return dz, dm, ds
+
+
+iaf_update.defvjp(_iaf_fwd, _iaf_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Discretized logistic log-likelihood, summed per example
+# ---------------------------------------------------------------------------
+
+def disc_logistic_xla(mean, logscale, sample, binsize=1.0 / 256.0):
+    scale = jnp.exp(logscale)
+    x = (jnp.floor(sample / binsize) * binsize - mean) / scale
+    logp = jnp.log(jax.nn.sigmoid(x + binsize / scale) - jax.nn.sigmoid(x)
+                   + 1e-7)
+    return jnp.sum(logp.reshape(logp.shape[0], -1), axis=1)
+
+
+def _dl_kernel(scalars_ref, mean_ref, sample_ref, o_ref):
+    # scalars: [logscale, binsize] in SMEM (explicit inputs — captured
+    # f32 constants are rejected by the Mosaic lowering under shard_map)
+    logscale = scalars_ref[0, 0]
+    binsize = scalars_ref[0, 1]
+    inv_scale = jnp.exp(-logscale)
+    x = (jnp.floor(sample_ref[0] / binsize) * binsize - mean_ref[0]) * inv_scale
+    logp = jnp.log(jax.nn.sigmoid(x + binsize * inv_scale)
+                   - jax.nn.sigmoid(x) + 1e-7)
+    o_ref[pl.ds(pl.program_id(0), 1), :] = jnp.sum(logp).reshape(1, 1)
+
+
+def _dl_pallas(mean, logscale, sample, binsize):
+    b, h, w, c = mean.shape
+    blk = lambda: pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)
+    scalars = jnp.stack([jnp.asarray(logscale, mean.dtype),
+                         jnp.asarray(binsize, mean.dtype)]).reshape(1, 2)
+    out = pl.pallas_call(
+        _dl_kernel,
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, 2), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM),
+                  blk(), blk()],
+        out_specs=pl.BlockSpec((b, 1), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 1), mean.dtype),
+        interpret=_interp(),
+    )(scalars, mean, sample)
+    return out[:, 0]
+
+
+@jax.custom_vjp
+def disc_logistic_logp(mean, logscale, sample, binsize=1.0 / 256.0):
+    """Fused discretized-logistic log p(sample | mean, exp(logscale)) summed
+    over all but the batch dim. ``sample`` carries no gradient (data)."""
+    return _dl_pallas(mean, logscale, sample, binsize)
+
+
+def _dl_fwd(mean, logscale, sample, binsize):
+    return _dl_pallas(mean, logscale, sample, binsize), (mean, logscale,
+                                                         sample)
+
+
+def _dl_bwd(res, g):
+    mean, logscale, sample = res
+    # analytic grads via the XLA twin's vjp (exact same math)
+    def f(mean_, logscale_):
+        return disc_logistic_xla(mean_, logscale_, sample)
+    _, vjp = jax.vjp(f, mean, logscale)
+    dmean, dlogscale = vjp(g)
+    return dmean, dlogscale, None, None
+
+
+disc_logistic_logp.defvjp(_dl_fwd, _dl_bwd)

@@ -1,0 +1,191 @@
+"""Training / evaluation / sampling drivers (library side).
+
+Reference parity: ``tf_train.py — main, train(hps), evaluate(hps, mode)``
+(SURVEY.md §3.1/§3.2): same CLI semantics (``--logdir --hpconfig --mode``;
+``batch_size`` is the GLOBAL batch, split across devices like the
+reference's ``tf.split`` across towers), Supervisor-style
+restore-latest-on-start, periodic checkpoints, EMA-weights eval, and an
+optional concurrent-eval polling mode.
+
+TPU-native: one compiled SPMD step; multi-host bootstrap via
+``jax.distributed``; fault injection via ``--hpconfig fail_after_step=N``
+(SURVEY.md §5.3).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from typing import Iterator
+
+import jax
+import numpy as np
+
+from iaf_tpu.core import checkpoint as ckpt
+from iaf_tpu.core.config import Config
+from iaf_tpu.data import feed
+from iaf_tpu.data.datasets import load_dataset
+from iaf_tpu.models import cvae
+from iaf_tpu.optim import AdamaxState
+from iaf_tpu.parallel import eval_step as ev
+from iaf_tpu.parallel import train_step as ts
+from iaf_tpu.parallel.mesh import batch_sharding, make_mesh
+from iaf_tpu.utils.metrics import MetricsLogger
+
+LOG2 = math.log(2.0)
+
+
+def maybe_init_distributed() -> None:
+    """Multi-host bootstrap over DCN (SURVEY.md §5.8); single-process when
+    no coordinator is configured."""
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") and jax.process_count() == 1:
+        jax.distributed.initialize()
+
+
+def state_to_tree(step: int, state: ts.TrainState, rng) -> dict:
+    return {
+        "step": np.asarray(step),
+        "params": state.params,
+        "opt": {"step": state.opt.step, "m": state.opt.m, "u": state.opt.u,
+                "ema": state.opt.ema},
+        "rng": np.asarray(rng),
+    }
+
+
+def tree_to_state(tree: dict) -> tuple[int, ts.TrainState, jax.Array]:
+    opt = AdamaxState(step=jax.numpy.asarray(tree["opt"]["step"]),
+                      m=tree["opt"]["m"], u=tree["opt"]["u"],
+                      ema=tree["opt"]["ema"])
+    state = ts.TrainState(params=tree["params"], opt=opt)
+    return int(tree["step"]), state, jax.numpy.asarray(tree["rng"])
+
+
+def train(cfg: Config, max_steps: int | None = None,
+          data_iter: Iterator[np.ndarray] | None = None) -> ts.TrainState:
+    """The training loop. Returns the final state (for tests)."""
+    maybe_init_distributed()
+    mesh = make_mesh(cfg)
+    logger = MetricsLogger(cfg.logdir, enabled=jax.process_index() == 0)
+
+    if data_iter is None:
+        ds, is_real = load_dataset(cfg.dataset, cfg.data_dir, cfg.image_size,
+                                   cfg.channels)
+        if (jax.process_index() == 0 and not is_real
+                and cfg.dataset != "synthetic"):
+            print(f"[train] dataset {cfg.dataset!r} unavailable -> synthetic")
+        images = ds.train_x
+        rng_bin = np.random.RandomState(cfg.seed + 17)
+        raw_iter = feed.batch_iterator(images, cfg.batch_size, cfg.seed)
+        if cfg.binarize:
+            data_iter = (feed.dynamic_binarize(b, rng_bin) for b in raw_iter)
+        else:
+            data_iter = raw_iter
+
+    step_fn = ts.make_train_step(cfg, mesh)
+    base_key = jax.random.PRNGKey(cfg.seed)
+
+    start_step = 0
+    latest = ckpt.latest_checkpoint(cfg.logdir)
+    first_local = next(data_iter)
+    if latest is not None:
+        start_step, state, base_key = tree_to_state(ckpt.restore(latest))
+        if jax.process_index() == 0:
+            print(f"[train] restored {latest} at step {start_step}")
+    else:
+        init_batch = feed.make_global_batch(first_local, mesh)
+        # dedicated fold for param init (fold_in requires a uint32-range int)
+        state = ts.init_train_state(
+            cfg, jax.random.fold_in(base_key, 0x0001A51A), init_batch)
+
+    total = cfg.total_steps if max_steps is None else max_steps
+    t_last = time.time()
+    steps_since = 0
+    for step in range(start_step, total):
+        local = first_local if step == start_step else next(data_iter)
+        batch = feed.make_global_batch(local, mesh)
+        key = jax.random.fold_in(base_key, step)
+        state, metrics = step_fn(state, key, batch)
+        steps_since += 1
+
+        if cfg.fail_after_step and step + 1 == cfg.fail_after_step:
+            raise RuntimeError(f"fault injection: crash at step {step + 1}")
+
+        if (step + 1) % cfg.log_every == 0 or step + 1 == total:
+            jax.block_until_ready(metrics["loss"])
+            dt = time.time() - t_last
+            sps = steps_since / dt if dt > 0 else 0.0
+            logger.log(step + 1, steps_per_sec=sps,
+                       examples_per_sec=sps * cfg.batch_size, **metrics)
+            if jax.process_index() == 0:
+                print(f"[train] step {step + 1} loss {float(metrics['loss']):.2f} "
+                      f"bits/dim {float(metrics['bits_per_dim']):.4f} "
+                      f"{sps:.3f} steps/s")
+            t_last, steps_since = time.time(), 0
+
+        if (step + 1) % cfg.ckpt_every == 0 or step + 1 == total:
+            ckpt.save(cfg.logdir, step + 1,
+                      state_to_tree(step + 1, state, base_key))
+    logger.close()
+    return state
+
+
+def evaluate(cfg: Config, mode: str = "eval_test", params=None,
+             use_ema: bool = True, k: int | None = None,
+             max_batches: int | None = None) -> float:
+    """Importance-weighted eval (``tf_train.py evaluate()``): runs the
+    sharded k-sample bound over the selected split with EMA (Polyak) weights
+    restored from the latest checkpoint. Returns bits/dim."""
+    maybe_init_distributed()
+    mesh = make_mesh(cfg)
+    k = cfg.eval_k if k is None else k
+
+    if params is None:
+        latest = ckpt.latest_checkpoint(cfg.logdir)
+        if latest is None:
+            raise FileNotFoundError(f"no checkpoint in {cfg.logdir}")
+        tree = ckpt.restore(latest)
+        params = tree["opt"]["ema"] if use_ema else tree["params"]
+
+    ds, _ = load_dataset(cfg.dataset, cfg.data_dir, cfg.image_size,
+                         cfg.channels)
+    images = ds.train_x if mode == "eval_train" else ds.test_x
+    eval_fn = ev.make_eval_step(cfg, mesh, k=k)
+    key = jax.random.PRNGKey(cfg.seed + 999)
+
+    bs = cfg.eval_batch_size
+    n_batches = len(images) // bs
+    if max_batches is not None:
+        n_batches = min(n_batches, max_batches)
+    total_nats, total_n = 0.0, 0
+    for i in range(n_batches):
+        batch = images[i * bs:(i + 1) * bs]
+        nats = eval_fn(params, jax.random.fold_in(key, i), batch)
+        total_nats += float(np.sum(np.asarray(nats)))
+        total_n += bs
+    nats_mean = total_nats / max(total_n, 1)
+    bits_per_dim = nats_mean / (LOG2 * cfg.num_pixels)
+    if jax.process_index() == 0:
+        print(f"[{mode}] k={k} n={total_n} nats {nats_mean:.2f} "
+              f"bits/dim {bits_per_dim:.4f}")
+    return bits_per_dim
+
+
+def sample(cfg: Config, num: int = 16, temperature: float = 1.0,
+           use_ema: bool = True, out_path: str | None = None) -> np.ndarray:
+    """Generative sampling driver (prior decode; SURVEY.md §3.3)."""
+    mesh = make_mesh(cfg)
+    del mesh  # sampling is replicated; kept for future sharded sampling
+    latest = ckpt.latest_checkpoint(cfg.logdir)
+    if latest is None:
+        raise FileNotFoundError(f"no checkpoint in {cfg.logdir}")
+    tree = ckpt.restore(latest)
+    params = tree["opt"]["ema"] if use_ema else tree["params"]
+    imgs = np.asarray(cvae.cvae_sample(
+        cfg, params, jax.random.PRNGKey(cfg.seed + 4242), num,
+        temperature)).astype(np.uint8)
+    if out_path and jax.process_index() == 0:
+        from iaf_tpu.utils.metrics import img_tile
+        np.save(out_path, img_tile(imgs))
+        print(f"[sample] wrote {out_path} ({num} images, T={temperature})")
+    return imgs

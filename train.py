@@ -1,0 +1,58 @@
+#!/usr/bin/env python
+"""CLI driver, reference-compatible (``tf_train.py`` flags, SURVEY.md §2.1):
+
+    python train.py --logdir /tmp/iaf --hpconfig depth=1,num_blocks=20,\
+kl_min=0.25,learning_rate=0.002,batch_size=32 --mode train
+    python train.py --logdir /tmp/iaf --mode eval_test
+    python train.py --logdir /tmp/iaf --mode sample --num_samples 16
+
+``--num_gpus`` is accepted for command-line parity with the reference but
+ignored: device count comes from the mesh (all visible chips by default).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from iaf_tpu.core.config import get_default_hparams
+from iaf_tpu import train_lib
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--logdir", type=str, default="/tmp/iaf_tpu")
+    p.add_argument("--hpconfig", type=str, default="",
+                   help="comma-separated k=v hyperparameter overrides")
+    p.add_argument("--mode", type=str, default="train",
+                   choices=["train", "eval_train", "eval_test", "sample"])
+    p.add_argument("--num_gpus", type=int, default=None,
+                   help="reference-CLI parity; ignored (mesh uses all chips)")
+    p.add_argument("--num_samples", type=int, default=16)
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--profile_dir", type=str, default="",
+                   help="enable jax.profiler traces into this dir")
+    args = p.parse_args()
+
+    cfg = get_default_hparams().parse(args.hpconfig).replace(
+        logdir=args.logdir)
+
+    if args.profile_dir:
+        import jax
+        jax.profiler.start_trace(args.profile_dir)
+    try:
+        if args.mode == "train":
+            train_lib.train(cfg)
+        elif args.mode in ("eval_train", "eval_test"):
+            train_lib.evaluate(cfg, mode=args.mode)
+        elif args.mode == "sample":
+            train_lib.sample(cfg, num=args.num_samples,
+                             temperature=args.temperature,
+                             out_path=f"{args.logdir}/samples.npy")
+    finally:
+        if args.profile_dir:
+            import jax
+            jax.profiler.stop_trace()
+
+
+if __name__ == "__main__":
+    main()
