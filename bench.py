@@ -30,6 +30,9 @@ def main() -> None:
     from iaf_tpu.parallel.mesh import make_mesh
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    from iaf_tpu.train_lib import setup_compilation_cache
+    setup_compilation_cache()
+
     cfg = get_default_hparams().parse(
         "depth=1,num_blocks=20,kl_min=0.25,learning_rate=0.002,batch_size=32,"
         "z_size=32,h_size=160,depth_ar=2,dataset=synthetic")

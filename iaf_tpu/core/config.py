@@ -74,6 +74,7 @@ class Config:
     flow_update: str = "division"
     gate_forget_bias: float = 1.0     # added to s before sigmoid in gate mode
     ar_kind: str = "conv"             # conv | dense (dense = MNIST MADE path)
+    flow_depth: int = 2               # IAF steps for the vector-latent model
     kernel_size: int = 3              # AR/resnet conv filter size
     stem_kernel_size: int = 5         # stride-2 stem conv/deconv filter size
     # Data-dependent init scale for the stats convs (up_conv1/down_conv1):

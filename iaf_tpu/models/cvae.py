@@ -99,7 +99,7 @@ def iaf_flow(cfg: Config, ctx: Ctx, z: jax.Array, context: jax.Array,
         m, s = L.ar_multiconv2d(ctx, "ar1", z, context, n_h,
                                 [cfg.z_size, cfg.z_size],
                                 filter_size=(cfg.kernel_size, cfg.kernel_size),
-                                pallas=(not ctx.init) and use_pallas(cfg.kernels))
+                                pallas=(not ctx.init) and use_pallas(cfg.kernels, "conv"))
     else:  # dense MADE over the channel vector at each position
         m, s = L.ar_multidense(ctx, "ar1", z, context, n_h,
                                [cfg.z_size, cfg.z_size])

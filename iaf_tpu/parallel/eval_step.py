@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from iaf_tpu.core.config import Config
-from iaf_tpu.models import cvae
+from iaf_tpu.models import get_model
 from iaf_tpu.parallel.mesh import DATA_AXIS
 
 
@@ -57,7 +57,7 @@ def make_eval_step(cfg: Config, mesh: Mesh, k: int | None = None):
         # distinct importance samples per shard
         shard = jax.lax.axis_index(DATA_AXIS)
         rng = jax.random.fold_in(rng, shard)
-        out = cvae.apply_fn(cfg, params, rng, batch, mode="eval", k=k_local)
+        out = get_model(cfg).apply_fn(cfg, params, rng, batch, mode="eval", k=k_local)
         log_w = out.log_w.reshape(-1, k_local)                    # [B, k_local]
         return distributed_iw_bound(log_w, k)
 
@@ -77,7 +77,7 @@ def make_batch_sharded_elbo(cfg: Config, mesh: Mesh, k: int = 1):
     data = NamedSharding(mesh, P(DATA_AXIS))
 
     def step(params, rng, batch):
-        out = cvae.apply_fn(cfg, params, rng, batch, mode="eval", k=k)
+        out = get_model(cfg).apply_fn(cfg, params, rng, batch, mode="eval", k=k)
         return out.elbo_nats
 
     return jax.jit(step, in_shardings=(repl, repl, data), out_shardings=data)

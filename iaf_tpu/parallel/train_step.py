@@ -20,7 +20,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from iaf_tpu import optim
 from iaf_tpu.core.config import Config
-from iaf_tpu.models import cvae
+from iaf_tpu.models import get_model
 from iaf_tpu.parallel.mesh import DATA_AXIS, activation_sharding
 
 
@@ -30,7 +30,7 @@ class TrainState(NamedTuple):
 
 
 def loss_fn(cfg: Config, params, rng, batch):
-    out = cvae.apply_fn(cfg, params, rng, batch, mode="train")
+    out = get_model(cfg).apply_fn(cfg, params, rng, batch, mode="train")
     return out.loss, out
 
 
@@ -44,11 +44,15 @@ def train_step(cfg: Config, state: TrainState, rng, batch):
         bias_correction=cfg.bias_correction, grad_clip=cfg.grad_clip)
     metrics = {
         "loss": loss,
-        "bits_per_dim": out.bits_per_dim,
         "kl_obj": out.kl_obj,
         "kl_cost": out.kl_cost,
         "log_pxz": out.log_pxz,
     }
+    # family-specific headline metric (bits/dim for images, nats for MNIST)
+    if hasattr(out, "bits_per_dim"):
+        metrics["bits_per_dim"] = out.bits_per_dim
+    else:
+        metrics["nll_nats"] = out.nll_nats
     return TrainState(params, opt), metrics
 
 
@@ -71,5 +75,5 @@ def make_train_step(cfg: Config, mesh: Mesh):
 
 
 def init_train_state(cfg: Config, rng, sample_batch) -> TrainState:
-    params = cvae.init_params(cfg, rng, sample_batch)
+    params = get_model(cfg).init_params(cfg, rng, sample_batch)
     return TrainState(params=params, opt=optim.init_state(params))

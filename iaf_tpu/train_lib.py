@@ -26,7 +26,7 @@ from iaf_tpu.core import checkpoint as ckpt
 from iaf_tpu.core.config import Config
 from iaf_tpu.data import feed
 from iaf_tpu.data.datasets import load_dataset
-from iaf_tpu.models import cvae
+from iaf_tpu.models import cvae, get_model
 from iaf_tpu.optim import AdamaxState
 from iaf_tpu.parallel import eval_step as ev
 from iaf_tpu.parallel import train_step as ts
@@ -36,9 +36,21 @@ from iaf_tpu.utils.metrics import MetricsLogger
 LOG2 = math.log(2.0)
 
 
+def setup_compilation_cache() -> None:
+    """Persistent XLA compilation cache: repeated driver/bench invocations
+    with unchanged program shapes skip the (minutes-long) TPU compile."""
+    cache_dir = os.environ.get("IAF_COMPILE_CACHE", "/tmp/iaf_tpu_xla_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass  # older jax without the knobs
+
+
 def maybe_init_distributed() -> None:
     """Multi-host bootstrap over DCN (SURVEY.md §5.8); single-process when
     no coordinator is configured."""
+    setup_compilation_cache()
     if os.environ.get("JAX_COORDINATOR_ADDRESS") and jax.process_count() == 1:
         jax.distributed.initialize()
 
@@ -118,9 +130,12 @@ def train(cfg: Config, max_steps: int | None = None,
             logger.log(step + 1, steps_per_sec=sps,
                        examples_per_sec=sps * cfg.batch_size, **metrics)
             if jax.process_index() == 0:
-                print(f"[train] step {step + 1} loss {float(metrics['loss']):.2f} "
-                      f"bits/dim {float(metrics['bits_per_dim']):.4f} "
-                      f"{sps:.3f} steps/s")
+                if "bits_per_dim" in metrics:
+                    head = f"bits/dim {float(metrics['bits_per_dim']):.4f}"
+                else:
+                    head = f"nll {float(metrics['nll_nats']):.2f} nats"
+                print(f"[train] step {step + 1} loss "
+                      f"{float(metrics['loss']):.2f} {head} {sps:.3f} steps/s")
             t_last, steps_since = time.time(), 0
 
         if (step + 1) % cfg.ckpt_every == 0 or step + 1 == total:
@@ -164,6 +179,11 @@ def evaluate(cfg: Config, mode: str = "eval_test", params=None,
         total_nats += float(np.sum(np.asarray(nats)))
         total_n += bs
     nats_mean = total_nats / max(total_n, 1)
+    if cfg.likelihood == "bernoulli":
+        # MNIST family: the paper's metric is NLL in nats (BASELINE.md)
+        if jax.process_index() == 0:
+            print(f"[{mode}] k={k} n={total_n} NLL {nats_mean:.2f} nats")
+        return nats_mean
     bits_per_dim = nats_mean / (LOG2 * cfg.num_pixels)
     if jax.process_index() == 0:
         print(f"[{mode}] k={k} n={total_n} nats {nats_mean:.2f} "
@@ -181,9 +201,14 @@ def sample(cfg: Config, num: int = 16, temperature: float = 1.0,
         raise FileNotFoundError(f"no checkpoint in {cfg.logdir}")
     tree = ckpt.restore(latest)
     params = tree["opt"]["ema"] if use_ema else tree["params"]
-    imgs = np.asarray(cvae.cvae_sample(
-        cfg, params, jax.random.PRNGKey(cfg.seed + 4242), num,
-        temperature)).astype(np.uint8)
+    key = jax.random.PRNGKey(cfg.seed + 4242)
+    if cfg.likelihood == "bernoulli":
+        from iaf_tpu.models import mnist_vae
+        imgs = np.asarray(mnist_vae.sample(cfg, params, key, num,
+                                           temperature)).astype(np.uint8)
+    else:
+        imgs = np.asarray(cvae.cvae_sample(cfg, params, key, num,
+                                           temperature)).astype(np.uint8)
     if out_path and jax.process_index() == 0:
         from iaf_tpu.utils.metrics import img_tile
         np.save(out_path, img_tile(imgs))

@@ -1,0 +1,53 @@
+"""End-to-end driver integration on CPU devices (SURVEY.md §4.7 config
+ladder c1/c2-style, small): train() + evaluate() for both model families."""
+
+import numpy as np
+import pytest
+
+from iaf_tpu.core.config import Config
+from iaf_tpu import train_lib
+from iaf_tpu.models.mnist_vae import mnist_config
+
+
+def synthetic_iter(batch, image_size, channels, seed=0):
+    rng = np.random.RandomState(seed)
+    from iaf_tpu.data.datasets import synthetic_dataset
+    ds = synthetic_dataset(image_size, channels, n_train=max(batch * 4, 64),
+                           n_test=32, seed=seed)
+    i = 0
+    while True:
+        idx = rng.randint(0, len(ds.train_x), batch)
+        yield ds.train_x[idx]
+        i += 1
+
+
+def test_train_then_eval_cifar_family(tmp_path):
+    cfg = Config(dataset="synthetic", image_size=8, channels=3, z_size=2,
+                 h_size=8, depth=1, num_blocks=1, depth_ar=1,
+                 ar_hidden_size=8, kl_min=0.25, learning_rate=0.005,
+                 batch_size=8, total_steps=12, ckpt_every=6, log_every=6,
+                 eval_batch_size=4, eval_k=16, logdir=str(tmp_path))
+    it = synthetic_iter(8, 8, 3)
+    state = train_lib.train(cfg, data_iter=it)
+    assert state is not None
+    # eval from the checkpoint written by train() (EMA weights)
+    bpd = train_lib.evaluate(cfg, mode="eval_test", k=16, max_batches=2)
+    assert np.isfinite(bpd) and 0 < bpd < 30
+
+    # resume: continue to 16 steps from the step-12 checkpoint
+    cfg2 = cfg.replace(total_steps=16)
+    state2 = train_lib.train(cfg2, data_iter=synthetic_iter(8, 8, 3))
+    assert state2 is not None
+
+
+def test_train_mnist_family(tmp_path):
+    cfg = mnist_config(
+        image_size=8, z_size=4, h_size=8, ar_hidden_size=16, depth_ar=1,
+        flow_depth=1, kl_min=0.0, learning_rate=0.005, batch_size=8,
+        total_steps=8, ckpt_every=8, log_every=4, eval_batch_size=4,
+        eval_k=8, dataset="synthetic", channels=1, binarize=True,
+        logdir=str(tmp_path))
+    it = synthetic_iter(8, 8, 1, seed=3)
+    train_lib.train(cfg, data_iter=it)
+    nll = train_lib.evaluate(cfg, mode="eval_test", k=8, max_batches=2)
+    assert np.isfinite(nll)
