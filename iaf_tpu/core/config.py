@@ -104,6 +104,10 @@ class Config:
     # Pallas kernel selection: "auto" = Pallas on TPU, XLA elsewhere;
     # "pallas" forces Pallas (interpret mode off-TPU); "xla" forces the twins.
     kernels: str = "auto"
+    # Slice zero kernel rows off masked AR convs (asymmetric padding).
+    # Exact-equivalent, 1/3 fewer AR-conv FLOPs, but measured SLOWER on v5e
+    # (147 vs 182 steps/s — XLA's standard-shape conv wins); default off.
+    ar_row_trim: bool = False
 
     # --- parallelism (new; reference had in-graph DP towers only) ---
     num_gpus: int = 1                 # reference flag kept for CLI parity (= data shards)
@@ -120,6 +124,7 @@ class Config:
     log_every: int = 100
     eval_every: int = 0               # 0 = off
     fail_after_step: int = 0          # fault injection: crash after N steps (0=off)
+    tensorboard: bool = False         # also mirror metrics to TB event files
 
     # ------------------------------------------------------------------
     def parse(self, spec: str) -> "Config":

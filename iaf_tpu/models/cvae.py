@@ -62,6 +62,8 @@ class ModelOut(NamedTuple):
     log_pxz: jax.Array       # scalar mean reconstruction term
     log_w: jax.Array         # per-sample log importance weights [B*k]
     x_out: jax.Array         # decoded means in [-0.5, 0.5) domain
+    kl_per_layer: jax.Array  # [n_layers] mean raw KL per stochastic layer
+                             # (free-bits collapse diagnostic, SURVEY §5.5)
 
 
 def _split(x: jax.Array, sizes) -> list[jax.Array]:
@@ -99,7 +101,8 @@ def iaf_flow(cfg: Config, ctx: Ctx, z: jax.Array, context: jax.Array,
         m, s = L.ar_multiconv2d(ctx, "ar1", z, context, n_h,
                                 [cfg.z_size, cfg.z_size],
                                 filter_size=(cfg.kernel_size, cfg.kernel_size),
-                                pallas=(not ctx.init) and use_pallas(cfg.kernels, "conv"))
+                                pallas=(not ctx.init) and use_pallas(cfg.kernels, "conv"),
+                                trim_rows=cfg.ar_row_trim)
     else:  # dense MADE over the channel vector at each position
         m, s = L.ar_multidense(ctx, "ar1", z, context, n_h,
                                [cfg.z_size, cfg.z_size])
@@ -218,12 +221,16 @@ def cvae_forward(cfg: Config, ctx: Ctx, x: jax.Array, mode: str = "train",
 
     kl_obj_total = jnp.zeros((batch,), jnp.float32)
     kl_cost_total = jnp.zeros((batch,), jnp.float32)
+    kl_layers = []
     for name in reversed(names):
         h, kl_obj, kl_cost = iaf_layer_down(
             cfg, ctx.scope(name), h, stats.get(name), mode)
         h = constrain(h, _ACT_SPEC)
         kl_obj_total = kl_obj_total + kl_obj
         kl_cost_total = kl_cost_total + kl_cost
+        kl_layers.append(jnp.mean(kl_cost))
+    # bottom-up order (layer 0 first) for readability in logs
+    kl_per_layer = jnp.stack(kl_layers[::-1])
 
     h = L.elu(h)
     x_out = L.deconv2d(ctx, "x_dec", h, cfg.channels, filter_size=sks,
@@ -253,7 +260,12 @@ def cvae_forward(cfg: Config, ctx: Ctx, x: jax.Array, mode: str = "train",
         log_pxz=jnp.mean(log_pxz),
         log_w=log_pxz - kl_cost_total,
         x_out=x_out,
+        kl_per_layer=kl_per_layer,
     )
+
+
+def _compute_dtype(cfg: Config):
+    return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
 
 
 def init_params(cfg: Config, rng: jax.Array, sample_batch: jax.Array):
@@ -267,8 +279,9 @@ def init_params(cfg: Config, rng: jax.Array, sample_batch: jax.Array):
 
 def apply_fn(cfg: Config, params, rng: jax.Array, x: jax.Array,
              mode: str = "train", k: int | None = None) -> ModelOut:
-    return cvae_forward(cfg, Ctx(params=params, rng=rng, init=False), x,
-                        mode=mode, k=k)
+    ctx = Ctx(params=params, rng=rng, init=False,
+              compute_dtype=_compute_dtype(cfg))
+    return cvae_forward(cfg, ctx, x, mode=mode, k=k)
 
 
 def cvae_sample(cfg: Config, params, rng: jax.Array, num: int,

@@ -148,7 +148,9 @@ def init_params(cfg: Config, rng: jax.Array, sample_batch: jax.Array):
 
 def apply_fn(cfg: Config, params, rng: jax.Array, x: jax.Array,
              mode: str = "train", k: int | None = None) -> MnistOut:
-    return forward(cfg, Ctx(params=params, rng=rng), x, mode=mode, k=k)
+    dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+    return forward(cfg, Ctx(params=params, rng=rng, compute_dtype=dt), x,
+                   mode=mode, k=k)
 
 
 def sample(cfg: Config, params, rng: jax.Array, num: int,

@@ -53,6 +53,8 @@ def train_step(cfg: Config, state: TrainState, rng, batch):
         metrics["bits_per_dim"] = out.bits_per_dim
     else:
         metrics["nll_nats"] = out.nll_nats
+    if hasattr(out, "kl_per_layer"):
+        metrics["kl_per_layer"] = out.kl_per_layer
     return TrainState(params, opt), metrics
 
 

@@ -78,7 +78,8 @@ def train(cfg: Config, max_steps: int | None = None,
     """The training loop. Returns the final state (for tests)."""
     maybe_init_distributed()
     mesh = make_mesh(cfg)
-    logger = MetricsLogger(cfg.logdir, enabled=jax.process_index() == 0)
+    logger = MetricsLogger(cfg.logdir, enabled=jax.process_index() == 0,
+                           tensorboard=cfg.tensorboard)
 
     if data_iter is None:
         ds, is_real = load_dataset(cfg.dataset, cfg.data_dir, cfg.image_size,
@@ -96,6 +97,16 @@ def train(cfg: Config, max_steps: int | None = None,
 
     step_fn = ts.make_train_step(cfg, mesh)
     base_key = jax.random.PRNGKey(cfg.seed)
+
+    # Periodic in-train eval on the Polyak (EMA) weights: the lightweight
+    # single-process counterpart of the reference's concurrent eval worker
+    # (use --mode eval_loop for the full polling-process parity).
+    eval_fn = eval_images = None
+    if cfg.eval_every > 0:
+        eds, _ = load_dataset(cfg.dataset, cfg.data_dir, cfg.image_size,
+                              cfg.channels)
+        eval_images = eds.test_x[: cfg.eval_batch_size]
+        eval_fn = ev.make_eval_step(cfg, mesh, k=min(cfg.eval_k, 64))
 
     start_step = 0
     latest = ckpt.latest_checkpoint(cfg.logdir)
@@ -137,6 +148,19 @@ def train(cfg: Config, max_steps: int | None = None,
                 print(f"[train] step {step + 1} loss "
                       f"{float(metrics['loss']):.2f} {head} {sps:.3f} steps/s")
             t_last, steps_since = time.time(), 0
+
+        if eval_fn is not None and (step + 1) % cfg.eval_every == 0:
+            nats = eval_fn(state.opt.ema,
+                           jax.random.fold_in(base_key, 2**31 + step),
+                           eval_images)
+            m = float(np.mean(np.asarray(nats)))
+            if cfg.likelihood == "bernoulli":
+                logger.log(step + 1, eval_nll_nats=m)
+            else:
+                logger.log(step + 1,
+                           eval_bits_per_dim=m / (LOG2 * cfg.num_pixels))
+            # eval wall time counts against the next steps/s window; the
+            # eval_loop mode is the non-intrusive path
 
         if (step + 1) % cfg.ckpt_every == 0 or step + 1 == total:
             ckpt.save(cfg.logdir, step + 1,
@@ -191,9 +215,42 @@ def evaluate(cfg: Config, mode: str = "eval_test", params=None,
     return bits_per_dim
 
 
-def sample(cfg: Config, num: int = 16, temperature: float = 1.0,
+def eval_loop(cfg: Config, mode: str = "eval_test", poll_secs: float = 30.0,
+              max_evals: int | None = None, k: int | None = None,
+              max_batches: int | None = None) -> None:
+    """Concurrent-eval process (``tf_utils/common.py — CheckpointLoader``
+    parity): poll the training logdir and evaluate every new checkpoint on
+    EMA weights. Runs until interrupted (or ``max_evals`` for tests)."""
+    maybe_init_distributed()
+    loader = ckpt.CheckpointLoader(cfg.logdir)
+    done = 0
+    logger = MetricsLogger(cfg.logdir, filename=f"{mode}_metrics.jsonl",
+                           enabled=jax.process_index() == 0,
+                           tensorboard=cfg.tensorboard)
+    while max_evals is None or done < max_evals:
+        item = loader.maybe_load()
+        if item is None:
+            time.sleep(poll_secs)
+            continue
+        path, tree = item
+        step = int(np.asarray(tree["step"]))
+        metric = evaluate(cfg, mode=mode, params=tree["opt"]["ema"], k=k,
+                          max_batches=max_batches)
+        logger.log(step, **{("nll_nats" if cfg.likelihood == "bernoulli"
+                             else "bits_per_dim"): metric})
+        if jax.process_index() == 0:
+            print(f"[eval_loop] {path} step {step} -> {metric:.4f}")
+        done += 1
+    logger.close()
+
+
+def sample(cfg: Config, num: int = 16, temperature: float | list[float] = 1.0,
            use_ema: bool = True, out_path: str | None = None) -> np.ndarray:
-    """Generative sampling driver (prior decode; SURVEY.md §3.3)."""
+    """Generative sampling driver (prior decode; SURVEY.md §3.3).
+
+    ``temperature`` may be a list for a sweep (BASELINE config c5): each T
+    reuses the same base noise key, so the sweep isolates the temperature
+    effect; tiles are written side by side as ``<out>_T<temp>.npy``."""
     mesh = make_mesh(cfg)
     del mesh  # sampling is replicated; kept for future sharded sampling
     latest = ckpt.latest_checkpoint(cfg.logdir)
@@ -202,15 +259,21 @@ def sample(cfg: Config, num: int = 16, temperature: float = 1.0,
     tree = ckpt.restore(latest)
     params = tree["opt"]["ema"] if use_ema else tree["params"]
     key = jax.random.PRNGKey(cfg.seed + 4242)
-    if cfg.likelihood == "bernoulli":
-        from iaf_tpu.models import mnist_vae
-        imgs = np.asarray(mnist_vae.sample(cfg, params, key, num,
-                                           temperature)).astype(np.uint8)
-    else:
-        imgs = np.asarray(cvae.cvae_sample(cfg, params, key, num,
-                                           temperature)).astype(np.uint8)
-    if out_path and jax.process_index() == 0:
-        from iaf_tpu.utils.metrics import img_tile
-        np.save(out_path, img_tile(imgs))
-        print(f"[sample] wrote {out_path} ({num} images, T={temperature})")
-    return imgs
+    temps = temperature if isinstance(temperature, (list, tuple)) else [temperature]
+    from iaf_tpu.utils.metrics import img_tile
+    last = None
+    for t in temps:
+        if cfg.likelihood == "bernoulli":
+            from iaf_tpu.models import mnist_vae
+            imgs = np.asarray(mnist_vae.sample(cfg, params, key, num,
+                                               float(t))).astype(np.uint8)
+        else:
+            imgs = np.asarray(cvae.cvae_sample(cfg, params, key, num,
+                                               float(t))).astype(np.uint8)
+        if out_path and jax.process_index() == 0:
+            path = (out_path if len(temps) == 1 else
+                    out_path.replace(".npy", "") + f"_T{t}.npy")
+            np.save(path, img_tile(imgs))
+            print(f"[sample] wrote {path} ({num} images, T={t})")
+        last = imgs
+    return last

@@ -16,12 +16,19 @@ from typing import Any
 
 class MetricsLogger:
     def __init__(self, logdir: str, filename: str = "metrics.jsonl",
-                 enabled: bool = True):
+                 enabled: bool = True, tensorboard: bool = False):
         self.enabled = enabled
         self.path = os.path.join(logdir, filename)
+        self._tb = None
         if enabled:
             os.makedirs(logdir, exist_ok=True)
             self._f = open(self.path, "a", buffering=1)
+            if tensorboard:
+                try:  # torch's TB writer: no TF dependency
+                    from torch.utils.tensorboard import SummaryWriter
+                    self._tb = SummaryWriter(log_dir=os.path.join(logdir, "tb"))
+                except Exception as e:
+                    print(f"[metrics] tensorboard writer unavailable: {e}")
         self._t0 = time.time()
 
     def log(self, step: int, **metrics: Any) -> None:
@@ -32,12 +39,46 @@ class MetricsLogger:
             try:
                 rec[k] = float(v)
             except (TypeError, ValueError):
-                rec[k] = v
+                try:  # vector metrics (e.g. per-layer KL)
+                    import numpy as _np
+                    rec[k] = [round(float(e), 6)
+                              for e in _np.asarray(v).ravel()]
+                except Exception:
+                    rec[k] = str(v)
         self._f.write(json.dumps(rec) + "\n")
+        if self._tb is not None:
+            for k, v in rec.items():
+                if k in ("step", "wall"):
+                    continue
+                if isinstance(v, float):
+                    self._tb.add_scalar(k, v, rec["step"])
+                elif isinstance(v, list):  # per-layer vectors
+                    for i, e in enumerate(v):
+                        self._tb.add_scalar(f"{k}/{i}", e, rec["step"])
+
+    def log_image(self, tag: str, image, step: int) -> None:
+        """HWC uint8 image to TB (sample/recon tiles; ``img_tile`` summaries
+        in the reference train loop)."""
+        if self._tb is not None:
+            import numpy as np
+            self._tb.add_image(tag, np.asarray(image), step,
+                               dataformats="HWC")
 
     def close(self) -> None:
         if self.enabled:
             self._f.close()
+            if self._tb is not None:
+                self._tb.close()
+
+
+def img_stretch(images):
+    """Stretch float imagery to [0, 1] per batch
+    (``tf_utils/common.py — img_stretch`` parity)."""
+    import numpy as np
+
+    images = np.asarray(images, np.float32)
+    lo, hi = images.min(), images.max()
+    return (images - lo) / max(hi - lo, 1e-12)
 
 
 def img_tile(images, pad: int = 1):

@@ -81,6 +81,25 @@ def test_masked_conv_equals_xla_conv_with_masked_weights():
     np.testing.assert_allclose(np.asarray(y2), np.asarray(y), atol=1e-4)
 
 
+def test_masked_conv_row_trim_5x5():
+    """The static kernel-row trim (zero rows below center dropped, asymmetric
+    padding, opt-in via trim_rows) must match the full-kernel masked conv."""
+    x = jax.random.normal(jax.random.PRNGKey(15), (2, 7, 9, 3))
+    ctx = Ctx(params={}, rng=jax.random.PRNGKey(16), init=True)
+    L.ar_conv2d(ctx, "arc5", x, 6, filter_size=(5, 5), zerodiagonal=False,
+                trim_rows=True)
+    params = ctx.root
+    y = L.ar_conv2d(Ctx(params=params), "arc5", x, 6, filter_size=(5, 5),
+                    zerodiagonal=False, trim_rows=True)
+    V, g, b = params["arc5"]["V"], params["arc5"]["g"], params["arc5"]["b"]
+    mask = jnp.asarray(get_conv_ar_mask(5, 5, 3, 6, False))
+    vn = V * jax.lax.rsqrt(jnp.sum(V**2, axis=(0, 1, 2), keepdims=True) + 1e-12)
+    want = jax.lax.conv_general_dilated(
+        x, vn * mask * g, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+    np.testing.assert_allclose(np.asarray(y), np.asarray(want), atol=1e-5)
+
+
 def test_ar_multiconv2d_autoregressive_end_to_end():
     """Jacobian of each (m, s) head w.r.t. z must be strictly lower-triangular
     in raster-then-channel AR order (zero diagonal end to end)."""

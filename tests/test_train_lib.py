@@ -51,3 +51,47 @@ def test_train_mnist_family(tmp_path):
     train_lib.train(cfg, data_iter=it)
     nll = train_lib.evaluate(cfg, mode="eval_test", k=8, max_batches=2)
     assert np.isfinite(nll)
+
+
+def test_eval_loop_polls_checkpoints(tmp_path):
+    cfg = Config(dataset="synthetic", image_size=8, channels=3, z_size=2,
+                 h_size=8, depth=1, num_blocks=1, depth_ar=1,
+                 ar_hidden_size=8, kl_min=0.0, learning_rate=0.005,
+                 batch_size=8, total_steps=6, ckpt_every=3, log_every=3,
+                 eval_batch_size=4, eval_k=8, logdir=str(tmp_path))
+    train_lib.train(cfg, data_iter=synthetic_iter(8, 8, 3))
+    # two checkpoints exist (step 3, step 6); loop should eval the latest
+    train_lib.eval_loop(cfg, poll_secs=0.1, max_evals=1, k=8, max_batches=1)
+    import os
+    assert os.path.isfile(os.path.join(str(tmp_path),
+                                       "eval_test_metrics.jsonl"))
+
+
+def test_eval_every_logs_in_train_metrics(tmp_path):
+    cfg = Config(dataset="synthetic", image_size=8, channels=3, z_size=2,
+                 h_size=8, depth=1, num_blocks=1, depth_ar=1,
+                 ar_hidden_size=8, kl_min=0.0, learning_rate=0.005,
+                 batch_size=8, total_steps=4, ckpt_every=4, log_every=4,
+                 eval_batch_size=4, eval_k=8, eval_every=2,
+                 logdir=str(tmp_path))
+    train_lib.train(cfg)
+    import json, os
+    recs = [json.loads(l) for l in
+            open(os.path.join(str(tmp_path), "metrics.jsonl"))]
+    assert any("eval_bits_per_dim" in r for r in recs)
+
+
+def test_bf16_compute_close_to_f32(tmp_path):
+    from iaf_tpu.models import cvae
+    import jax
+    cfg32 = Config(dataset="synthetic", image_size=8, channels=3, z_size=2,
+                   h_size=8, depth=1, num_blocks=1, depth_ar=1,
+                   ar_hidden_size=8, kl_min=0.0)
+    cfg16 = cfg32.replace(compute_dtype="bfloat16")
+    rng = np.random.RandomState(0)
+    x = rng.randint(0, 256, (4, 8, 8, 3)).astype(np.uint8)
+    params = cvae.init_params(cfg32, jax.random.PRNGKey(0), x)
+    o32 = cvae.apply_fn(cfg32, params, jax.random.PRNGKey(1), x)
+    o16 = cvae.apply_fn(cfg16, params, jax.random.PRNGKey(1), x)
+    # bf16 matmuls: ~1% relative agreement expected
+    assert abs(float(o32.loss) - float(o16.loss)) / abs(float(o32.loss)) < 0.02

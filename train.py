@@ -24,11 +24,13 @@ def main() -> None:
     p.add_argument("--hpconfig", type=str, default="",
                    help="comma-separated k=v hyperparameter overrides")
     p.add_argument("--mode", type=str, default="train",
-                   choices=["train", "eval_train", "eval_test", "sample"])
+                   choices=["train", "eval_train", "eval_test", "eval_loop",
+                            "sample"])
     p.add_argument("--num_gpus", type=int, default=None,
                    help="reference-CLI parity; ignored (mesh uses all chips)")
     p.add_argument("--num_samples", type=int, default=16)
-    p.add_argument("--temperature", type=float, default=1.0)
+    # --temperature accepts a single value or a comma list for a sweep
+    p.add_argument("--temperature", type=str, default="1.0")
     p.add_argument("--profile_dir", type=str, default="",
                    help="enable jax.profiler traces into this dir")
     args = p.parse_args()
@@ -44,9 +46,12 @@ def main() -> None:
             train_lib.train(cfg)
         elif args.mode in ("eval_train", "eval_test"):
             train_lib.evaluate(cfg, mode=args.mode)
+        elif args.mode == "eval_loop":
+            train_lib.eval_loop(cfg)
         elif args.mode == "sample":
             train_lib.sample(cfg, num=args.num_samples,
-                             temperature=args.temperature,
+                             temperature=[float(t) for t in
+                                          args.temperature.split(",")],
                              out_path=f"{args.logdir}/samples.npy")
     finally:
         if args.profile_dir:
