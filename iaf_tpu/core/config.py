@@ -98,6 +98,11 @@ class Config:
     batch_size: int = 16              # per-replica examples (ref: per-GPU 16?32)
     total_steps: int = 1_000_000
     seed: int = 123
+    # Steps fused into one device program via lax.scan (1 = step-per-dispatch).
+    # Collapses the per-step host->device hop; key discipline keeps chunked
+    # and unchunked trajectories bit-identical. log/ckpt/eval cadences are
+    # rounded to chunk boundaries.
+    steps_per_dispatch: int = 1
 
     # --- precision / kernels ---
     compute_dtype: str = "float32"    # bfloat16 opt-in, gated on bits/dim parity

@@ -64,22 +64,37 @@ def load_cifar10(data_dir: str) -> Dataset | None:
 
 
 def load_mnist(data_dir: str) -> Dataset | None:
-    """MNIST from idx files if present (zero-egress: no hard dependency)."""
+    """MNIST from idx files (plain or .gz) if present (zero-egress: no hard
+    dependency)."""
     names = ["train-images-idx3-ubyte", "train-labels-idx1-ubyte",
              "t10k-images-idx3-ubyte", "t10k-labels-idx1-ubyte"]
-    paths = [os.path.join(data_dir, n) for n in names]
-    if not all(os.path.isfile(p) for p in paths):
+
+    def _find(name):
+        for suffix in ("", ".gz"):
+            p = os.path.join(data_dir, name + suffix)
+            if os.path.isfile(p):
+                return p
         return None
 
-    def _images(p):
+    paths = [_find(n) for n in names]
+    if not all(paths):
+        return None
+
+    def _read(p):
+        if p.endswith(".gz"):
+            import gzip
+            with gzip.open(p, "rb") as f:
+                return f.read()
         with open(p, "rb") as f:
-            raw = f.read()
+            return f.read()
+
+    def _images(p):
+        raw = _read(p)
         n = int.from_bytes(raw[4:8], "big")
         return np.frombuffer(raw, np.uint8, offset=16).reshape(n, 28, 28, 1)
 
     def _labels(p):
-        with open(p, "rb") as f:
-            raw = f.read()
+        raw = _read(p)
         return np.frombuffer(raw, np.uint8, offset=8).astype(np.int32)
 
     return Dataset(_images(paths[0]), _labels(paths[1]),

@@ -52,6 +52,14 @@ def make_global_batch(local_batch: np.ndarray, mesh: jax.sharding.Mesh,
     return jax.make_array_from_process_local_data(sharding, local_batch)
 
 
+def make_global_chunk(local_batches: np.ndarray, mesh: jax.sharding.Mesh,
+                      axis: str = "data") -> jax.Array:
+    """Assemble a [steps, global_batch, ...] array (multi-step dispatch):
+    replicated over the leading steps axis, batch-sharded on ``axis``."""
+    sharding = NamedSharding(mesh, P(None, axis))
+    return jax.make_array_from_process_local_data(sharding, local_batches)
+
+
 def dynamic_binarize(batch: np.ndarray, rng: np.random.RandomState) -> np.ndarray:
     """MNIST dynamic binarization (Theano ``train.py`` parity): sample each
     pixel Bernoulli(intensity/255) fresh every epoch, returned as uint8*255

@@ -17,7 +17,7 @@ from __future__ import annotations
 import math
 import os
 import time
-from typing import Iterator
+from typing import Any, Iterator
 
 import jax
 import numpy as np
@@ -95,7 +95,11 @@ def train(cfg: Config, max_steps: int | None = None,
         else:
             data_iter = raw_iter
 
-    step_fn = ts.make_train_step(cfg, mesh)
+    S = max(1, cfg.steps_per_dispatch)
+    if S > 1:
+        chunk_fn = ts.make_train_chunk(cfg, mesh, S)
+    else:
+        step_fn = ts.make_train_step(cfg, mesh)
     base_key = jax.random.PRNGKey(cfg.seed)
 
     # Periodic in-train eval on the Polyak (EMA) weights: the lightweight
@@ -124,47 +128,64 @@ def train(cfg: Config, max_steps: int | None = None,
     total = cfg.total_steps if max_steps is None else max_steps
     t_last = time.time()
     steps_since = 0
-    for step in range(start_step, total):
-        local = first_local if step == start_step else next(data_iter)
-        batch = feed.make_global_batch(local, mesh)
-        key = jax.random.fold_in(base_key, step)
-        state, metrics = step_fn(state, key, batch)
-        steps_since += 1
+    tail_fns: dict[int, Any] = {}
+    step = start_step
+    while step < total:
+        n = min(S, total - step)
+        if S > 1:
+            locals_ = [first_local if (step == start_step and j == 0)
+                       else next(data_iter) for j in range(n)]
+            if n == S:
+                fn = chunk_fn
+            else:  # tail chunk: compile once per distinct tail length
+                fn = tail_fns.setdefault(n, ts.make_train_chunk(cfg, mesh, n))
+            batches = feed.make_global_chunk(np.stack(locals_), mesh)
+            state, stacked = fn(state, base_key, np.int32(step), batches)
+            metrics = jax.tree.map(lambda x: x[-1], stacked)
+        else:
+            local = first_local if step == start_step else next(data_iter)
+            batch = feed.make_global_batch(local, mesh)
+            key = jax.random.fold_in(base_key, step)
+            state, metrics = step_fn(state, key, batch)
+        step += n
+        steps_since += n
 
-        if cfg.fail_after_step and step + 1 == cfg.fail_after_step:
-            raise RuntimeError(f"fault injection: crash at step {step + 1}")
+        if cfg.fail_after_step and step >= cfg.fail_after_step > step - n:
+            raise RuntimeError(f"fault injection: crash at step {step}")
 
-        if (step + 1) % cfg.log_every == 0 or step + 1 == total:
+        # fire when a multiple of the cadence lies in (step-n, step]
+        if step % cfg.log_every < n or step == total:
             jax.block_until_ready(metrics["loss"])
             dt = time.time() - t_last
             sps = steps_since / dt if dt > 0 else 0.0
-            logger.log(step + 1, steps_per_sec=sps,
+            logger.log(step, steps_per_sec=sps,
                        examples_per_sec=sps * cfg.batch_size, **metrics)
             if jax.process_index() == 0:
                 if "bits_per_dim" in metrics:
                     head = f"bits/dim {float(metrics['bits_per_dim']):.4f}"
                 else:
                     head = f"nll {float(metrics['nll_nats']):.2f} nats"
-                print(f"[train] step {step + 1} loss "
+                print(f"[train] step {step} loss "
                       f"{float(metrics['loss']):.2f} {head} {sps:.3f} steps/s")
             t_last, steps_since = time.time(), 0
 
-        if eval_fn is not None and (step + 1) % cfg.eval_every == 0:
+        if eval_fn is not None and step % cfg.eval_every < n and step >= cfg.eval_every:
             nats = eval_fn(state.opt.ema,
                            jax.random.fold_in(base_key, 2**31 + step),
                            eval_images)
             m = float(np.mean(np.asarray(nats)))
             if cfg.likelihood == "bernoulli":
-                logger.log(step + 1, eval_nll_nats=m)
+                logger.log(step, eval_nll_nats=m)
             else:
-                logger.log(step + 1,
+                logger.log(step,
                            eval_bits_per_dim=m / (LOG2 * cfg.num_pixels))
             # eval wall time counts against the next steps/s window; the
             # eval_loop mode is the non-intrusive path
 
-        if (step + 1) % cfg.ckpt_every == 0 or step + 1 == total:
-            ckpt.save(cfg.logdir, step + 1,
-                      state_to_tree(step + 1, state, base_key))
+        if (step % cfg.ckpt_every < n and step >= cfg.ckpt_every) \
+                or step == total:
+            ckpt.save(cfg.logdir, step,
+                      state_to_tree(step, state, base_key))
     logger.close()
     return state
 

@@ -81,6 +81,29 @@ def test_eval_every_logs_in_train_metrics(tmp_path):
     assert any("eval_bits_per_dim" in r for r in recs)
 
 
+def test_chunked_dispatch_matches_single_step(tmp_path):
+    """steps_per_dispatch>1 must produce the SAME final params as the
+    unchunked loop (same keys per global step), incl. a tail chunk."""
+    import jax
+
+    def run(subdir, spd):
+        cfg = Config(dataset="synthetic", image_size=8, channels=3, z_size=2,
+                     h_size=8, depth=1, num_blocks=1, depth_ar=1,
+                     ar_hidden_size=8, kl_min=0.0, learning_rate=0.005,
+                     batch_size=8, total_steps=7, ckpt_every=100,
+                     log_every=100, steps_per_dispatch=spd,
+                     logdir=str(tmp_path / subdir))
+        return train_lib.train(cfg, data_iter=synthetic_iter(8, 8, 3))
+
+    s1 = run("one", 1)
+    s3 = run("three", 3)  # 3+3+tail(1)
+    flat1 = jax.tree_util.tree_leaves(s1.params)
+    flat3 = jax.tree_util.tree_leaves(s3.params)
+    for a, b in zip(flat1, flat3):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-6)
+
+
 def test_bf16_compute_close_to_f32(tmp_path):
     from iaf_tpu.models import cvae
     import jax
