@@ -110,9 +110,9 @@ class Config:
     # "pallas" forces Pallas (interpret mode off-TPU); "xla" forces the twins.
     kernels: str = "auto"
     # Slice zero kernel rows off masked AR convs (asymmetric padding).
-    # Exact-equivalent, 1/3 fewer AR-conv FLOPs, but measured SLOWER on v5e
-    # (147 vs 182 steps/s — XLA's standard-shape conv wins); default off.
-    ar_row_trim: bool = False
+    # Exact-equivalent, 1/3 fewer AR-conv FLOPs; honest interleaved A/B
+    # (tools/ab_bench.py): 36.8 vs 35.0 steps/s (+5%) on v5e -> default ON.
+    ar_row_trim: bool = True
 
     # --- parallelism (new; reference had in-graph DP towers only) ---
     num_gpus: int = 1                 # reference flag kept for CLI parity (= data shards)
@@ -122,6 +122,9 @@ class Config:
     # --- eval ---
     eval_batch_size: int = 16
     eval_k: int = 4096                # importance samples for IW eval
+    # Importance samples materialized per shard at once (k streamed via an
+    # online-logsumexp scan): bounds eval HBM at B*eval_k_chunk model widths.
+    eval_k_chunk: int = 64
 
     # --- checkpoint / logging ---
     logdir: str = "/tmp/iaf_tpu"

@@ -154,11 +154,13 @@ def _mask_row_extent(mask: np.ndarray) -> int | None:
     (h, w) masked conv is exactly a (l+1, w) conv with asymmetric padding —
     summing the explicitly-zero taps wastes MXU FLOPs XLA cannot eliminate.
 
-    Measured A/B on a v5e chip (paper config): the trimmed (2,3) kernel with
-    padding ((1,0),(1,1)) ran the whole model at 147 steps/s vs 182 for the
-    full masked 3x3 — XLA's tuned standard-shape conv beats the 33% FLOP
-    saving. Hence ``trim_rows`` defaults to OFF and is a config opt-in
-    (``ar_row_trim``), same honest-selection policy as the Pallas kernels."""
+    Honest A/B on a v5e chip (tools/ab_bench.py, value-fetch timed and
+    contention-interleaved): the trimmed (2,3) kernel with padding
+    ((1,0),(1,1)) runs the paper config at 36.8 steps/s vs 35.0 for the full
+    masked 3x3 (+5%), consistent with the AR convs' ~18% share of model
+    FLOPs (tools/roofline.py) times the 1/3 tap saving. Default ON via
+    ``ar_row_trim``; an earlier dispatch-latency-polluted measurement that
+    suggested the opposite is void."""
     nz = np.flatnonzero(mask.reshape(mask.shape[0], -1).any(axis=1))
     if nz.size == 0 or nz[-1] == mask.shape[0] - 1:
         return None

@@ -20,13 +20,14 @@ def use_pallas(kernels: str, op: str = "elementwise") -> bool:
     """Resolve the config ``kernels`` switch per op class.
 
     "pallas" forces everything; "xla" disables everything. "auto" admits an
-    op class only once it has measured FASTER than its XLA twin on TPU.
-    A/B on v5e, paper config train steps/s: XLA 169.9; Pallas im2col masked
-    conv 98.9 (per-example grid loses to XLA's tuned conv); Pallas fused
-    disc-logistic 134.8 (tiny per-example programs + broken epilogue fusion).
-    So auto currently selects XLA everywhere; the Pallas kernels stay
-    available and tested, and re-enter auto only behind a winning A/B
-    (next: a blocked, pipelined fused AR-chain kernel).
+    op class only once it has measured FASTER than its XLA twin on TPU in an
+    HONEST A/B (tools/ab_bench.py: value-fetch timed, contention-interleaved
+    — earlier dispatch-latency-bound timings were invalid). As of the last
+    sweep (paper config, v5e), auto selects XLA everywhere: XLA 35.0 vs
+    Pallas-conv 28.3 steps/s — XLA's tuned convs beat the im2col kernel, and
+    the fused elementwise kernels don't pay for their call overhead on this
+    conv-dominated model. The Pallas kernels
+    stay available and tested and re-enter auto only behind a winning A/B.
     """
     del op
     if kernels == "pallas":

@@ -47,19 +47,46 @@ def make_eval_step(cfg: Config, mesh: Mesh, k: int | None = None):
     Returns f(params, rng, batch) -> per-example negative IW bound in nats
     [B]. ``batch`` is replicated (every shard sees all B examples and
     contributes k/N importance samples).
+
+    The shard-local k is STREAMED in chunks of ``cfg.eval_k_chunk`` with an
+    online (running max / rescaled sum-exp) logsumexp inside ``lax.scan``:
+    k=4096 would otherwise put B*4096 model replicas in HBM at once. The
+    cross-shard combine stays pmax -> psum on the (max, sumexp) pair.
     """
     k = cfg.eval_k if k is None else k
     n_shards = mesh.shape[DATA_AXIS]
     assert k % n_shards == 0, (k, n_shards)
     k_local = k // n_shards
+    k_chunk = min(k_local, max(1, cfg.eval_k_chunk))
+    assert k_local % k_chunk == 0, (k_local, k_chunk)
+    n_chunks = k_local // k_chunk
 
     def local_eval(params, rng, batch):
-        # distinct importance samples per shard
+        # distinct importance samples per shard (and per chunk, below)
         shard = jax.lax.axis_index(DATA_AXIS)
-        rng = jax.random.fold_in(rng, shard)
-        out = get_model(cfg).apply_fn(cfg, params, rng, batch, mode="eval", k=k_local)
-        log_w = out.log_w.reshape(-1, k_local)                    # [B, k_local]
-        return distributed_iw_bound(log_w, k)
+        rng_shard = jax.random.fold_in(rng, shard)
+        batch_n = batch.shape[0]
+
+        def body(carry, i):
+            m_run, s_run = carry                              # [B], [B]
+            out = get_model(cfg).apply_fn(
+                cfg, params, jax.random.fold_in(rng_shard, i), batch,
+                mode="eval", k=k_chunk)
+            log_w = out.log_w.reshape(batch_n, k_chunk)       # [B, k_chunk]
+            m_new = jnp.maximum(m_run, jnp.max(log_w, axis=1))
+            s_run = (s_run * jnp.exp(m_run - m_new)
+                     + jnp.sum(jnp.exp(log_w - m_new[:, None]), axis=1))
+            return (m_new, s_run), None
+
+        init = (jnp.full((batch_n,), -jnp.inf, jnp.float32),
+                jnp.zeros((batch_n,), jnp.float32))
+        (m_loc, s_loc), _ = jax.lax.scan(
+            body, init, jnp.arange(n_chunks, dtype=jnp.int32))
+
+        # distributed combine of the (max, sumexp) pairs
+        m_glob = jax.lax.pmax(m_loc, DATA_AXIS)
+        s_glob = jax.lax.psum(s_loc * jnp.exp(m_loc - m_glob), DATA_AXIS)
+        return -(jnp.log(s_glob) + m_glob - math.log(float(k)))
 
     shmapped = jax.shard_map(
         local_eval, mesh=mesh,

@@ -100,18 +100,45 @@ def test_sharded_iw_eval_matches_unsharded():
     assert bound_sharded.shape == (2,)
 
     # Unsharded oracle: replicate each shard's sampling (fold_in shard id,
-    # k_local samples) and combine all k log-weights on one device.
+    # then chunk id, k_chunk samples per chunk) and combine all k log-weights
+    # on one device.
     k_local = k // 8
+    k_chunk = min(k_local, cfg.eval_k_chunk)
     log_ws = []
     for shard in range(8):
-        key = jax.random.fold_in(jax.random.PRNGKey(9), shard)
-        out = cvae.apply_fn(cfg, params, key, jnp.asarray(x), mode="eval",
-                            k=k_local)
-        log_ws.append(np.asarray(out.log_w).reshape(2, k_local))
+        key_s = jax.random.fold_in(jax.random.PRNGKey(9), shard)
+        for c in range(k_local // k_chunk):
+            out = cvae.apply_fn(cfg, params, jax.random.fold_in(key_s, c),
+                                jnp.asarray(x), mode="eval", k=k_chunk)
+            log_ws.append(np.asarray(out.log_w).reshape(2, k_chunk))
     log_w = np.concatenate(log_ws, axis=1)  # [2, k]
     m = log_w.max(axis=1, keepdims=True)
     want = -(np.log(np.exp(log_w - m).sum(axis=1)) + m[:, 0] - np.log(k))
     np.testing.assert_allclose(bound_sharded, want, rtol=1e-5, atol=1e-5)
+
+
+def test_streamed_k_chunks_match_single_chunk_bound():
+    """eval_k_chunk streaming (online logsumexp scan) must agree with the
+    one-chunk path given the same per-chunk keys."""
+    cfg = tiny_cfg()
+    mesh = make_mesh(cfg)
+    x = fake_batch(cfg, 2, seed=11)
+    params = cvae.init_params(cfg, jax.random.PRNGKey(0), x)
+    k = 32  # k_local = 4 per shard
+    streamed = ev.make_eval_step(cfg.replace(eval_k_chunk=2), mesh, k=k)
+    got = np.asarray(streamed(params, jax.random.PRNGKey(5), jnp.asarray(x)))
+    # oracle with identical key schedule: 2 chunks of 2 per shard
+    log_ws = []
+    for shard in range(8):
+        key_s = jax.random.fold_in(jax.random.PRNGKey(5), shard)
+        for c in range(2):
+            out = cvae.apply_fn(cfg, params, jax.random.fold_in(key_s, c),
+                                jnp.asarray(x), mode="eval", k=2)
+            log_ws.append(np.asarray(out.log_w).reshape(2, 2))
+    log_w = np.concatenate(log_ws, axis=1)
+    m = log_w.max(axis=1, keepdims=True)
+    want = -(np.log(np.exp(log_w - m).sum(axis=1)) + m[:, 0] - np.log(k))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
 def test_iw_bound_beats_elbo_on_same_params():
