@@ -220,6 +220,12 @@ def evaluate(cfg: Config, mode: str = "eval_test", params=None,
     total_nats, total_n = 0.0, 0
     for i in range(n_batches):
         batch = images[i * bs:(i + 1) * bs]
+        if jax.process_count() > 1:
+            # multi-host: jit args must be global arrays; every host loads
+            # the same (deterministic) split, replicate it explicitly
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            batch = jax.make_array_from_process_local_data(
+                NamedSharding(mesh, P()), batch)
         nats = eval_fn(params, jax.random.fold_in(key, i), batch)
         total_nats += float(np.sum(np.asarray(nats)))
         total_n += bs

@@ -38,9 +38,18 @@ def main() -> None:
     cfg = get_default_hparams().parse(args.hpconfig).replace(
         logdir=args.logdir)
 
+    tracing = False
     if args.profile_dir:
         import jax
-        jax.profiler.start_trace(args.profile_dir)
+        # start_trace hangs on tunneled/experimental backends (axon): the
+        # remote device offers no profiler service. Trace only platforms
+        # with known local profiler support; degrade with a warning else.
+        if jax.default_backend() in ("tpu", "cpu", "gpu"):
+            jax.profiler.start_trace(args.profile_dir)
+            tracing = True
+        else:
+            print(f"[profile] backend {jax.default_backend()!r} has no "
+                  "profiler service; skipping trace")
     try:
         if args.mode == "train":
             train_lib.train(cfg)
@@ -54,7 +63,7 @@ def main() -> None:
                                           args.temperature.split(",")],
                              out_path=f"{args.logdir}/samples.npy")
     finally:
-        if args.profile_dir:
+        if tracing:
             import jax
             jax.profiler.stop_trace()
 
