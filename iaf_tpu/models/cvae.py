@@ -284,6 +284,54 @@ def apply_fn(cfg: Config, params, rng: jax.Array, x: jax.Array,
     return cvae_forward(cfg, ctx, x, mode=mode, k=k)
 
 
+def posterior_flow_probe(cfg: Config, params, rng: jax.Array, x: jax.Array):
+    """Extract the topmost stochastic layer's pre-flow posterior sample,
+    flow context, and a bound ``ar_fn`` for real data ``x``.
+
+    Supports the inversion/density driver (``invert_check`` mode): the
+    reference never inverts its IAF (SURVEY.md §3.3), so evaluating the flow
+    in the density direction at external points is a new capability wired
+    through ``iaf_tpu.models.inversion``. Returns ``(z, context, ar_fn)``
+    where ``ar_fn(z) -> (m, s)`` includes the model's 0.1 head scaling.
+    """
+    ctx = Ctx(params=params, rng=rng)
+    sks = (cfg.stem_kernel_size, cfg.stem_kernel_size)
+    ks = (cfg.kernel_size, cfg.kernel_size)
+    zs, hs = cfg.z_size, cfg.h_size
+    xf = x.astype(jnp.float32) / 256.0 - 0.5
+    h = L.conv2d(ctx, "x_enc", xf, hs, filter_size=sks, stride=(2, 2))
+
+    names = _layer_names(cfg)
+    stats: dict[str, LayerStats] = {}
+    for name in names:
+        h, st = iaf_layer_up(cfg, ctx.scope(name), h)
+        stats[name] = st
+
+    top = names[-1]  # first layer decoded top-down
+    h_top = ctx.param("h_top", (hs,), L.normal_init(0.05))
+    dec_hw = cfg.image_size // 2
+    h = jnp.broadcast_to(h_top, (xf.shape[0], dec_hw, dec_hw, hs))
+    sub = ctx.scope(top)
+    xd = L.elu(h)
+    xd = L.conv2d(sub, "down_conv1", xd, 4 * zs + 2 * hs, filter_size=ks,
+                  init_scale=cfg.stat_init_scale)
+    _, _, rz_mean, rz_logsd, down_context, _ = _split(
+        xd, [zs, zs, zs, zs, hs, hs])
+    posterior = DiagonalGaussian(stats[top].qz_mean + rz_mean,
+                                 2.0 * (stats[top].qz_logsd + rz_logsd))
+    z = posterior.sample(sub.key("z_post"))
+    context = stats[top].up_context + down_context
+    n_h = [cfg.ar_hidden] * cfg.depth_ar
+
+    def ar_fn(zq):
+        m, s = L.ar_multiconv2d(Ctx(params=params, path=top), "ar1", zq,
+                                context, n_h, [zs, zs], filter_size=ks,
+                                trim_rows=cfg.ar_row_trim)
+        return m * 0.1, s * 0.1
+
+    return z, context, ar_fn
+
+
 def cvae_sample(cfg: Config, params, rng: jax.Array, num: int,
                 temperature: float = 1.0) -> jax.Array:
     """Generative sampling (``mode="sample"`` branch of ``CVAE1._forward``):

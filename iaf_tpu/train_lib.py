@@ -271,6 +271,64 @@ def eval_loop(cfg: Config, mode: str = "eval_test", poll_secs: float = 30.0,
     logger.close()
 
 
+def invert_check(cfg: Config, use_ema: bool = True,
+                 batch: int | None = None) -> dict:
+    """Drive the sequential AR flow inversion on checkpointed weights
+    (north-star config c5; SURVEY.md §5.7): forward the topmost posterior
+    flow on real data, invert it with the exact per-position loop AND the
+    blockwise Jacobi loop, and report round-trip errors + wall times.
+
+    Returns {"err_exact", "err_jacobi", "t_exact", "t_jacobi"}.
+    """
+    from iaf_tpu.models.cvae import posterior_flow_probe, iaf_flow
+    from iaf_tpu.models.inversion import invert_ar_exact, invert_ar_jacobi
+
+    maybe_init_distributed()
+    latest = ckpt.latest_checkpoint(cfg.logdir)
+    if latest is None:
+        raise FileNotFoundError(f"no checkpoint in {cfg.logdir}")
+    tree = ckpt.restore(latest)
+    params = tree["opt"]["ema"] if use_ema else tree["params"]
+
+    ds, _ = load_dataset(cfg.dataset, cfg.data_dir, cfg.image_size,
+                         cfg.channels)
+    x = ds.test_x[: (batch or min(4, cfg.eval_batch_size))]
+    rng = jax.random.PRNGKey(cfg.seed + 31337)
+    z0, context, ar_fn = posterior_flow_probe(cfg, params, rng, x)
+    z_prime, _ = iaf_flow(
+        cfg, _probe_flow_ctx(cfg, params), z0, context,
+        jax.numpy.zeros_like(z0))
+
+    results = {}
+    for name, fn in [
+        ("exact", lambda: invert_ar_exact(
+            ar_fn, z_prime, form=cfg.flow_update,
+            gate_bias=cfg.gate_forget_bias)),
+        ("jacobi", lambda: invert_ar_jacobi(
+            ar_fn, z_prime,
+            iters=z_prime.shape[1] * z_prime.shape[2] * z_prime.shape[3],
+            form=cfg.flow_update, gate_bias=cfg.gate_forget_bias)),
+    ]:
+        t0 = time.time()
+        z_rec = fn()
+        err = float(np.max(np.abs(np.asarray(z_rec) - np.asarray(z0))))
+        results[f"err_{name}"] = err
+        results[f"t_{name}"] = time.time() - t0
+    if jax.process_index() == 0:
+        print(f"[invert_check] shape {tuple(z_prime.shape)} "
+              f"exact err {results['err_exact']:.2e} "
+              f"({results['t_exact']:.1f}s) | jacobi err "
+              f"{results['err_jacobi']:.2e} ({results['t_jacobi']:.1f}s)")
+    return results
+
+
+def _probe_flow_ctx(cfg: Config, params):
+    """Ctx bound to the topmost stochastic layer's param scope."""
+    from iaf_tpu.models.cvae import _layer_names
+    from iaf_tpu.nn.layers import Ctx
+    return Ctx(params=params, path=_layer_names(cfg)[-1])
+
+
 def sample(cfg: Config, num: int = 16, temperature: float | list[float] = 1.0,
            use_ema: bool = True, out_path: str | None = None) -> np.ndarray:
     """Generative sampling driver (prior decode; SURVEY.md §3.3).

@@ -118,3 +118,17 @@ def test_bf16_compute_close_to_f32(tmp_path):
     o16 = cvae.apply_fn(cfg16, params, jax.random.PRNGKey(1), x)
     # bf16 matmuls: ~1% relative agreement expected
     assert abs(float(o32.loss) - float(o16.loss)) / abs(float(o32.loss)) < 0.02
+
+
+def test_invert_check_roundtrip(tmp_path):
+    """invert_check (config c5 driver): exact and Jacobi inversions must
+    recover the pre-flow posterior sample on trained weights."""
+    cfg = Config(dataset="synthetic", image_size=8, channels=3, z_size=2,
+                 h_size=8, depth=1, num_blocks=1, depth_ar=1,
+                 ar_hidden_size=8, kl_min=0.0, learning_rate=0.005,
+                 batch_size=8, total_steps=4, ckpt_every=4, log_every=4,
+                 eval_batch_size=4, logdir=str(tmp_path))
+    train_lib.train(cfg, data_iter=synthetic_iter(8, 8, 3))
+    r = train_lib.invert_check(cfg, batch=2)
+    assert r["err_exact"] < 1e-4, r
+    assert r["err_jacobi"] < 1e-4, r

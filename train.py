@@ -25,7 +25,7 @@ def main() -> None:
                    help="comma-separated k=v hyperparameter overrides")
     p.add_argument("--mode", type=str, default="train",
                    choices=["train", "eval_train", "eval_test", "eval_loop",
-                            "sample"])
+                            "sample", "invert_check"])
     p.add_argument("--num_gpus", type=int, default=None,
                    help="reference-CLI parity; ignored (mesh uses all chips)")
     p.add_argument("--num_samples", type=int, default=16)
@@ -57,6 +57,8 @@ def main() -> None:
             train_lib.evaluate(cfg, mode=args.mode)
         elif args.mode == "eval_loop":
             train_lib.eval_loop(cfg)
+        elif args.mode == "invert_check":
+            train_lib.invert_check(cfg)
         elif args.mode == "sample":
             train_lib.sample(cfg, num=args.num_samples,
                              temperature=[float(t) for t in
