@@ -113,6 +113,10 @@ class Config:
     # Exact-equivalent, 1/3 fewer AR-conv FLOPs; honest interleaved A/B
     # (tools/ab_bench.py): 36.8 vs 35.0 steps/s (+5%) on v5e -> default ON.
     ar_row_trim: bool = True
+    # Compute the IAF (m, s) heads in one conv over concatenated masks
+    # instead of two z_size-wide convs (identical math, fewer padded MXU
+    # lanes). Honest A/B: 37.4 vs 36.9 steps/s (+1.4%) -> default ON.
+    merge_ar_heads: bool = True
 
     # --- parallelism (new; reference had in-graph DP towers only) ---
     num_gpus: int = 1                 # reference flag kept for CLI parity (= data shards)

@@ -102,7 +102,8 @@ def iaf_flow(cfg: Config, ctx: Ctx, z: jax.Array, context: jax.Array,
                                 [cfg.z_size, cfg.z_size],
                                 filter_size=(cfg.kernel_size, cfg.kernel_size),
                                 pallas=(not ctx.init) and use_pallas(cfg.kernels, "conv"),
-                                trim_rows=cfg.ar_row_trim)
+                                trim_rows=cfg.ar_row_trim,
+                                merge_heads=cfg.merge_ar_heads)
     else:  # dense MADE over the channel vector at each position
         m, s = L.ar_multidense(ctx, "ar1", z, context, n_h,
                                [cfg.z_size, cfg.z_size])
@@ -326,7 +327,8 @@ def posterior_flow_probe(cfg: Config, params, rng: jax.Array, x: jax.Array):
     def ar_fn(zq):
         m, s = L.ar_multiconv2d(Ctx(params=params, path=top), "ar1", zq,
                                 context, n_h, [zs, zs], filter_size=ks,
-                                trim_rows=cfg.ar_row_trim)
+                                trim_rows=cfg.ar_row_trim,
+                                merge_heads=cfg.merge_ar_heads)
         return m * 0.1, s * 0.1
 
     return z, context, ar_fn

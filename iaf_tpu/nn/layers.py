@@ -298,13 +298,20 @@ def ar_multiconv2d(ctx: Ctx, name: str, x: jax.Array, context: jax.Array,
                    n_h: Sequence[int], n_out: Sequence[int],
                    filter_size=(3, 3), nl=elu,
                    pallas: bool = False,
-                   trim_rows: bool = False) -> list[jax.Array]:
+                   trim_rows: bool = False,
+                   merge_heads: bool = False) -> list[jax.Array]:
     """Small masked-conv net computing the IAF (m, s) heads
     (``tf_utils/layers.py — ar_multiconv2d``).
 
     First hidden layer has ``zerodiagonal=True`` so every output depends only
     on strictly-preceding inputs end-to-end; later layers may use the
     diagonal. ``context`` is added after the first layer.
+
+    ``merge_heads`` computes all heads in ONE conv over the concatenated
+    per-head masks and splits the result — mathematically identical
+    (weight-norm g/b and the masks are per-output-channel), but a single
+    n_out-total conv wastes fewer padded MXU lanes than len(n_out) narrow
+    convs (each z_size-wide head pads its output dim to the 128-lane tile).
     """
     sub = ctx.scope(name)
     h = x
@@ -318,6 +325,18 @@ def ar_multiconv2d(ctx: Ctx, name: str, x: jax.Array, context: jax.Array,
     # NOTE: the reference scales these heads by 0.1 *in the model*
     # (``IAFLayer.down — arw_mean, arw_logsd = x[0]*0.1, x[1]*0.1``), so the
     # heads themselves use the default init scale.
+    if merge_heads:
+        mask = np.concatenate(
+            [get_conv_ar_mask(filter_size[0], filter_size[1], h.shape[-1],
+                              size, False) for size in n_out], axis=-1)
+        out = conv2d(sub, "layer_out", h, sum(n_out),
+                     filter_size=filter_size, mask=mask, pallas=pallas,
+                     trim_rows=trim_rows)
+        outs, start = [], 0
+        for size in n_out:
+            outs.append(out[..., start:start + size])
+            start += size
+        return outs
     return [
         ar_conv2d(sub, f"layer_out_{i}", h, size, filter_size=filter_size,
                   zerodiagonal=False, pallas=pallas, trim_rows=trim_rows)

@@ -34,7 +34,9 @@ def make_flow(flow_update: str, seed=0):
 
     def ar_fn(z):
         m, s = L.ar_multiconv2d(Ctx(params=params), "ar1", z, context,
-                                [4, 4], [C, C])
+                                [4, 4], [C, C],
+                                trim_rows=cfg.ar_row_trim,
+                                merge_heads=cfg.merge_ar_heads)
         return m * 0.1, s * 0.1
 
     return cfg, fwd, ar_fn
@@ -89,7 +91,9 @@ def test_gate_update_definition():
     ctx = Ctx(params={}, rng=jax.random.PRNGKey(2), init=True)
     z_out, logq = iaf_flow(cfg, ctx, z0, context, jnp.zeros_like(z0))
     params = ctx.root
-    m, s = L.ar_multiconv2d(Ctx(params=params), "ar1", z0, context, [4], [C, C])
+    m, s = L.ar_multiconv2d(Ctx(params=params), "ar1", z0, context, [4], [C, C],
+                            trim_rows=cfg.ar_row_trim,
+                            merge_heads=cfg.merge_ar_heads)
     m, s = m * 0.1, s * 0.1
     g = jax.nn.sigmoid(s + 1.5)
     np.testing.assert_allclose(np.asarray(z_out),

@@ -132,3 +132,30 @@ def test_param_reuse_forbidden_in_apply():
     except KeyError:
         return
     raise AssertionError("apply mode should fail on missing params")
+
+
+def test_ar_multiconv2d_merged_heads_autoregressive():
+    """merge_heads=True must produce heads with the same strict-AR jacobian
+    structure as the separate-conv path (identical masks, one conv)."""
+    H = W = 3
+    C = 2
+    context = jnp.zeros((1, H, W, 4))
+    ctx = Ctx(params={}, rng=jax.random.PRNGKey(7), init=True)
+    z0 = jax.random.normal(jax.random.PRNGKey(8), (1, H, W, C))
+    L.ar_multiconv2d(ctx, "ar", z0, context, [4, 4], [C, C],
+                     merge_heads=True)
+    params = ctx.root
+
+    def f(z):
+        outs = L.ar_multiconv2d(Ctx(params=params), "ar", z[None], context,
+                                [4, 4], [C, C], merge_heads=True)
+        return jnp.stack([o[0] for o in outs])
+
+    jac = np.asarray(jax.jacfwd(f)(z0[0]))
+    D = H * W * C
+    jac2 = jac.reshape(2, D, D)
+    for head in range(2):
+        upper = np.triu(np.abs(jac2[head]) > 1e-8, k=0)
+        assert not upper.any(), f"merged head {head} violates strict AR"
+    # and the heads are not degenerate (nonzero lower-triangular deps)
+    assert np.abs(np.tril(jac2[0], k=-1)).sum() > 0

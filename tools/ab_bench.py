@@ -23,10 +23,11 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 VARIANTS = {
-    "f32": "",
-    "trim": ",ar_row_trim=true",
+    "base": "",                        # current defaults (ar_row_trim on)
+    "notrim": ",ar_row_trim=false",
     "bf16": ",compute_dtype=bfloat16",
-    "bf16_trim": ",compute_dtype=bfloat16,ar_row_trim=true",
+    "merge_heads": ",merge_ar_heads=true",
+    "merge_heads_bf16": ",merge_ar_heads=true,compute_dtype=bfloat16",
     "pallas": ",kernels=pallas",
 }
 
