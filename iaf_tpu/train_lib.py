@@ -124,6 +124,9 @@ def train(cfg: Config, max_steps: int | None = None,
         # dedicated fold for param init (fold_in requires a uint32-range int)
         state = ts.init_train_state(
             cfg, jax.random.fold_in(base_key, 0x0001A51A), init_batch)
+        if jax.process_index() == 0:
+            from iaf_tpu.utils.params import describe
+            print(f"[train] {describe(state.params)}")
 
     total = cfg.total_steps if max_steps is None else max_steps
     t_last = time.time()

@@ -132,3 +132,22 @@ def test_invert_check_roundtrip(tmp_path):
     r = train_lib.invert_check(cfg, batch=2)
     assert r["err_exact"] < 1e-4, r
     assert r["err_jacobi"] < 1e-4, r
+
+
+def test_param_introspection():
+    from iaf_tpu.models import cvae
+    from iaf_tpu.utils.params import describe, find_trainable_variables, param_count
+    import jax
+    cfg = Config(dataset="synthetic", image_size=8, channels=3, z_size=2,
+                 h_size=8, depth=1, num_blocks=1, depth_ar=1,
+                 ar_hidden_size=8)
+    x = np.zeros((4, 8, 8, 3), np.uint8)
+    params = cvae.init_params(cfg, jax.random.PRNGKey(0), x)
+    rows = find_trainable_variables(params)
+    assert any(name.endswith("V") for name, _ in rows)
+    assert param_count(params) == sum(
+        int(np.prod(s)) for _, s in rows) > 0
+    assert "parameters in" in describe(params)
+    # prefix filter scopes to one layer
+    sub = find_trainable_variables(params, prefix="block_0/layer_0")
+    assert 0 < len(sub) < len(rows)
