@@ -63,8 +63,12 @@ def _barrier(name: str) -> None:
         multihost_utils.sync_global_devices(name)
 
 
-def save(logdir: str, step: int, tree: Any) -> str:
-    """Atomic checkpoint write from process 0 with an all-host barrier."""
+def save(logdir: str, step: int, tree: Any, keep: int = 5) -> str:
+    """Atomic checkpoint write from process 0 with an all-host barrier.
+
+    ``keep`` retains only the newest N checkpoints (``tf.train.Saver``'s
+    ``max_to_keep=5`` default); 0 keeps everything.
+    """
     path = os.path.join(logdir, f"ckpt-{step:09d}.npz")
     _barrier(f"ckpt_pre_{step}")
     if jax.process_index() == 0:
@@ -74,6 +78,11 @@ def save(logdir: str, step: int, tree: Any) -> str:
         with open(tmp, "wb") as f:
             np.savez(f, **flat)
         os.rename(tmp, path)
+        if keep:
+            ckpts = sorted(p for p in os.listdir(logdir)
+                           if re.fullmatch(r"ckpt-\d+\.npz", p))
+            for old in ckpts[:-keep]:
+                os.remove(os.path.join(logdir, old))
     _barrier(f"ckpt_post_{step}")
     return path
 

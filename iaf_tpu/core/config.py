@@ -133,6 +133,7 @@ class Config:
     # --- checkpoint / logging ---
     logdir: str = "/tmp/iaf_tpu"
     ckpt_every: int = 1000
+    ckpt_keep: int = 5                # newest N kept (Saver max_to_keep=5); 0=all
     log_every: int = 100
     eval_every: int = 0               # 0 = off
     fail_after_step: int = 0          # fault injection: crash after N steps (0=off)

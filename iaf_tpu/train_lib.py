@@ -188,7 +188,8 @@ def train(cfg: Config, max_steps: int | None = None,
         if (step % cfg.ckpt_every < n and step >= cfg.ckpt_every) \
                 or step == total:
             ckpt.save(cfg.logdir, step,
-                      state_to_tree(step, state, base_key))
+                      state_to_tree(step, state, base_key),
+                      keep=cfg.ckpt_keep)
     logger.close()
     return state
 

@@ -84,3 +84,19 @@ def test_resume_equivalence():
     for a, b in zip(jax.tree.leaves(s1.ema), jax.tree.leaves(s2.ema)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_save_retention_keeps_newest(tmp_path):
+    """keep=N retains only the newest N checkpoints (Saver max_to_keep)."""
+    import os
+    from iaf_tpu.core import checkpoint as ckpt
+    for step in range(1, 8):
+        ckpt.save(str(tmp_path), step, {"x": np.full((2,), step)}, keep=3)
+    files = sorted(p for p in os.listdir(str(tmp_path)) if p.endswith(".npz"))
+    assert files == [f"ckpt-{s:09d}.npz" for s in (5, 6, 7)], files
+    latest = ckpt.latest_checkpoint(str(tmp_path))
+    assert latest.endswith("ckpt-000000007.npz")
+    # keep=0 disables pruning
+    ckpt.save(str(tmp_path), 8, {"x": np.zeros(2)}, keep=0)
+    assert len([p for p in os.listdir(str(tmp_path))
+                if p.endswith(".npz")]) == 4
