@@ -95,6 +95,9 @@ class Config:
     bias_correction: bool = False     # upstream adamax.py applies none
     polyak_decay: float = 0.999       # tf.train.ExponentialMovingAverage decay
     grad_clip: float = 0.0            # 0 = off (reference has none)
+    # Sequential micro-batches per optimizer step (lax.scan): activation
+    # memory shrinks A-fold, so paper-scale global batches fit fewer chips.
+    grad_accum: int = 1
     batch_size: int = 16              # per-replica examples (ref: per-GPU 16?32)
     total_steps: int = 1_000_000
     seed: int = 123

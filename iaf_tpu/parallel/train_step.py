@@ -34,14 +34,7 @@ def loss_fn(cfg: Config, params, rng, batch):
     return out.loss, out
 
 
-def train_step(cfg: Config, state: TrainState, rng, batch):
-    (loss, out), grads = jax.value_and_grad(
-        partial(loss_fn, cfg), has_aux=True)(state.params, rng, batch)
-    params, opt = optim.apply_updates(
-        state.params, grads, state.opt,
-        lr=cfg.learning_rate, beta1=cfg.beta1, beta2=cfg.beta2,
-        eps=cfg.adamax_eps, polyak_decay=cfg.polyak_decay,
-        bias_correction=cfg.bias_correction, grad_clip=cfg.grad_clip)
+def _out_metrics(loss, out):
     metrics = {
         "loss": loss,
         "kl_obj": out.kl_obj,
@@ -55,6 +48,55 @@ def train_step(cfg: Config, state: TrainState, rng, batch):
         metrics["nll_nats"] = out.nll_nats
     if hasattr(out, "kl_per_layer"):
         metrics["kl_per_layer"] = out.kl_per_layer
+    return metrics
+
+
+def _grads_and_metrics(cfg: Config, params, rng, batch):
+    """Mean gradients + metrics over the global batch, optionally
+    accumulated over ``cfg.grad_accum`` sequential micro-batches (lax.scan):
+    activation memory shrinks A-fold, so paper-scale global batches fit a
+    single chip. Equal micro sizes make the mean-of-means exact."""
+    A = max(1, cfg.grad_accum)
+    if A == 1:
+        (loss, out), grads = jax.value_and_grad(
+            partial(loss_fn, cfg), has_aux=True)(params, rng, batch)
+        return grads, _out_metrics(loss, out)
+
+    B = batch.shape[0]
+    assert B % A == 0, (B, A)
+    micro = batch.reshape(A, B // A, *batch.shape[1:])
+    from iaf_tpu.parallel.mesh import constrain
+    micro = constrain(micro, (None, DATA_AXIS) + (None,) * (batch.ndim - 1))
+
+    def micro_step(a, mb):
+        (loss, out), grads = jax.value_and_grad(
+            partial(loss_fn, cfg), has_aux=True)(
+                params, jax.random.fold_in(rng, a), mb)
+        return grads, _out_metrics(loss, out)
+
+    def body(acc, inp):
+        a, mb = inp
+        g, m = micro_step(a, mb)
+        g_acc, m_acc = acc
+        return (jax.tree.map(jnp.add, g_acc, g),
+                {k: m_acc[k] + m[k] for k in m_acc}), None
+
+    # first micro-batch initializes the accumulator (no shape gymnastics)
+    init = micro_step(jnp.int32(0), micro[0])
+    (g_sum, m_sum), _ = jax.lax.scan(
+        body, init, (jnp.arange(1, A, dtype=jnp.int32), micro[1:]))
+    grads = jax.tree.map(lambda g: g / A, g_sum)
+    metrics = {k: v / A for k, v in m_sum.items()}
+    return grads, metrics
+
+
+def train_step(cfg: Config, state: TrainState, rng, batch):
+    grads, metrics = _grads_and_metrics(cfg, state.params, rng, batch)
+    params, opt = optim.apply_updates(
+        state.params, grads, state.opt,
+        lr=cfg.learning_rate, beta1=cfg.beta1, beta2=cfg.beta2,
+        eps=cfg.adamax_eps, polyak_decay=cfg.polyak_decay,
+        bias_correction=cfg.bias_correction, grad_clip=cfg.grad_clip)
     return TrainState(params, opt), metrics
 
 
