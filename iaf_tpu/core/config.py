@@ -182,3 +182,55 @@ class Config:
 def get_default_hparams() -> Config:
     """Reference-named constructor (``tf_train.get_default_hparams()``)."""
     return Config()
+
+
+HPS_FILENAME = "hps.json"
+
+
+def save_hparams(cfg: Config, logdir: str) -> str:
+    """Persist the resolved config to ``logdir/hps.json`` so later eval/
+    sample/invert invocations reproduce the training architecture without
+    re-passing ``--hpconfig`` (the reference required repeating it)."""
+    import json
+    import os
+
+    os.makedirs(logdir, exist_ok=True)
+    path = os.path.join(logdir, HPS_FILENAME)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(dataclasses.asdict(cfg), f, indent=1, sort_keys=True)
+    os.replace(tmp, path)  # atomic, same discipline as checkpoints
+    return path
+
+
+def load_hparams(logdir: str) -> Config | None:
+    """Config from ``logdir/hps.json``, or None if absent. Unknown keys
+    (written by a newer version) are skipped with a warning; list values
+    re-tuple-ified (JSON has no tuples)."""
+    import json
+    import os
+
+    path = os.path.join(logdir, HPS_FILENAME)
+    if not os.path.isfile(path):
+        return None
+    with open(path) as f:
+        raw = json.load(f)
+    known = {f.name for f in fields(Config)}
+    updates = {}
+    for k, v in raw.items():
+        if k not in known:
+            print(f"[config] ignoring unknown saved hyperparameter {k!r}")
+            continue
+        updates[k] = tuple(v) if isinstance(v, list) else v
+    return Config(**updates)
+
+
+def resolve_config(logdir: str, hpconfig: str, mode: str = "train") -> Config:
+    """Driver-side config resolution: saved ``hps.json`` in ``logdir`` (if
+    any) as the base, then ``--hpconfig`` overrides, then ``logdir`` itself.
+    (Pure — no JAX backend touch, so multi-host ``jax.distributed``
+    bootstrap order is preserved; ``train_lib.train`` writes hps.json.)"""
+    del mode
+    base = load_hparams(logdir)
+    return (base if base is not None else get_default_hparams()).parse(
+        hpconfig).replace(logdir=logdir)

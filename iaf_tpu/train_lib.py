@@ -80,6 +80,9 @@ def train(cfg: Config, max_steps: int | None = None,
     mesh = make_mesh(cfg)
     logger = MetricsLogger(cfg.logdir, enabled=jax.process_index() == 0,
                            tensorboard=cfg.tensorboard)
+    if jax.process_index() == 0:
+        from iaf_tpu.core.config import save_hparams
+        save_hparams(cfg, cfg.logdir)  # eval/sample runs pick this up as base
 
     if data_iter is None:
         ds, is_real = load_dataset(cfg.dataset, cfg.data_dir, cfg.image_size,
@@ -331,6 +334,41 @@ def _probe_flow_ctx(cfg: Config, params):
     from iaf_tpu.models.cvae import _layer_names
     from iaf_tpu.nn.layers import Ctx
     return Ctx(params=params, path=_layer_names(cfg)[-1])
+
+
+def reconstruct(cfg: Config, num: int = 16, use_ema: bool = True,
+                out_path: str | None = None) -> np.ndarray:
+    """Posterior reconstruction tiles: encode ``num`` test images, decode
+    the posterior sample, and tile each original next to its reconstruction
+    (the reference's TensorBoard recon summaries — ``tf_train.py`` image
+    summaries via ``tf_utils/common.py — img_tile``). Returns the uint8
+    reconstructions [num, H, W, C]."""
+    latest = ckpt.latest_checkpoint(cfg.logdir)
+    if latest is None:
+        raise FileNotFoundError(f"no checkpoint in {cfg.logdir}")
+    tree = ckpt.restore(latest)
+    params = tree["opt"]["ema"] if use_ema else tree["params"]
+
+    ds, _ = load_dataset(cfg.dataset, cfg.data_dir, cfg.image_size,
+                         cfg.channels)
+    x = np.asarray(ds.test_x[:num])
+    key = jax.random.PRNGKey(cfg.seed + 777)
+    if cfg.likelihood == "bernoulli":
+        from iaf_tpu.models import mnist_vae
+        out = mnist_vae.apply_fn(cfg, params, key, x, mode="eval", k=1)
+        recon = jax.nn.sigmoid(out.logits) * 255.0  # Bernoulli means
+    else:
+        out = cvae.apply_fn(cfg, params, key, x, mode="eval", k=1)
+        recon = jax.numpy.clip((out.x_out + 0.5) * 256.0, 0.0, 255.0)
+    recon = np.asarray(recon).astype(np.uint8)
+
+    if out_path and jax.process_index() == 0:
+        from iaf_tpu.utils.metrics import img_tile
+        # originals and reconstructions interleaved pairwise in the tile
+        pairs = np.stack([x.astype(np.uint8), recon], axis=1)
+        np.save(out_path, img_tile(pairs.reshape((-1,) + x.shape[1:])))
+        print(f"[recon] wrote {out_path} ({num} original/recon pairs)")
+    return recon
 
 
 def sample(cfg: Config, num: int = 16, temperature: float | list[float] = 1.0,

@@ -53,3 +53,40 @@ def test_empty_spec_identity():
 def test_ar_hidden_fallback():
     assert Config(h_size=160, ar_hidden_size=0).ar_hidden == 160
     assert Config(h_size=160, ar_hidden_size=320).ar_hidden == 320
+
+
+def test_hparams_save_load_roundtrip(tmp_path):
+    from iaf_tpu.core.config import load_hparams, save_hparams
+
+    cfg = Config().parse("depth=3,kl_min=0.5,likelihood=bernoulli")
+    save_hparams(cfg, str(tmp_path))
+    assert load_hparams(str(tmp_path)) == cfg
+    assert load_hparams(str(tmp_path / "nope")) is None
+
+
+def test_hparams_load_skips_unknown_keys(tmp_path):
+    import json
+
+    from iaf_tpu.core.config import HPS_FILENAME, load_hparams, save_hparams
+
+    save_hparams(Config(depth=7), str(tmp_path))
+    p = tmp_path / HPS_FILENAME
+    d = json.loads(p.read_text())
+    d["from_the_future"] = 42
+    p.write_text(json.dumps(d))
+    got = load_hparams(str(tmp_path))
+    assert got is not None and got.depth == 7
+
+
+def test_resolve_config_layering(tmp_path):
+    from iaf_tpu.core.config import resolve_config, save_hparams
+
+    # no saved config: defaults + hpconfig
+    cfg = resolve_config(str(tmp_path), "depth=5", mode="eval_test")
+    assert cfg.depth == 5 and cfg.logdir == str(tmp_path)
+    # saved config is the base; CLI string still wins on conflict
+    save_hparams(Config(depth=9, h_size=48), str(tmp_path))
+    cfg = resolve_config(str(tmp_path), "depth=5", mode="eval_test")
+    assert cfg.depth == 5 and cfg.h_size == 48
+    cfg = resolve_config(str(tmp_path), "", mode="sample")
+    assert cfg.depth == 9

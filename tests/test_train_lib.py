@@ -151,3 +151,31 @@ def test_param_introspection():
     # prefix filter scopes to one layer
     sub = find_trainable_variables(params, prefix="block_0/layer_0")
     assert 0 < len(sub) < len(rows)
+
+
+def test_reconstruct_both_families(tmp_path):
+    """--mode recon: posterior recon tiles for both model families; train
+    also persists hps.json so recon resolves the architecture from logdir."""
+    from iaf_tpu.core.config import load_hparams
+
+    cfg = Config(dataset="synthetic", image_size=8, channels=3, z_size=2,
+                 h_size=8, depth=1, num_blocks=1, depth_ar=1,
+                 ar_hidden_size=8, kl_min=0.0, learning_rate=0.005,
+                 batch_size=8, total_steps=4, ckpt_every=4, log_every=4,
+                 logdir=str(tmp_path / "c"))
+    train_lib.train(cfg, data_iter=synthetic_iter(8, 8, 3))
+    assert load_hparams(cfg.logdir) == cfg  # hps.json written by train
+    out = tmp_path / "c" / "recons.npy"
+    recon = train_lib.reconstruct(cfg, num=4, out_path=str(out))
+    assert recon.shape == (4, 8, 8, 3) and recon.dtype == np.uint8
+    tile = np.load(out)
+    assert tile.ndim == 3 and tile.shape[-1] == 3  # 8 images tiled
+
+    mcfg = mnist_config(
+        image_size=8, z_size=4, h_size=8, ar_hidden_size=16, depth_ar=1,
+        flow_depth=1, kl_min=0.0, batch_size=8, total_steps=4, ckpt_every=4,
+        log_every=4, dataset="synthetic", channels=1, binarize=True,
+        logdir=str(tmp_path / "m"))
+    train_lib.train(mcfg, data_iter=synthetic_iter(8, 8, 1, seed=3))
+    recon = train_lib.reconstruct(mcfg, num=4)
+    assert recon.shape == (4, 8, 8, 1) and recon.dtype == np.uint8

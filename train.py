@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import argparse
 
-from iaf_tpu.core.config import get_default_hparams
+from iaf_tpu.core.config import resolve_config
 from iaf_tpu import train_lib
 
 
@@ -25,7 +25,7 @@ def main() -> None:
                    help="comma-separated k=v hyperparameter overrides")
     p.add_argument("--mode", type=str, default="train",
                    choices=["train", "eval_train", "eval_test", "eval_loop",
-                            "sample", "invert_check"])
+                            "sample", "recon", "invert_check"])
     p.add_argument("--num_gpus", type=int, default=None,
                    help="reference-CLI parity; ignored (mesh uses all chips)")
     p.add_argument("--num_samples", type=int, default=16)
@@ -35,8 +35,10 @@ def main() -> None:
                    help="enable jax.profiler traces into this dir")
     args = p.parse_args()
 
-    cfg = get_default_hparams().parse(args.hpconfig).replace(
-        logdir=args.logdir)
+    # Saved hps.json in the logdir (written by train) is the base config, so
+    # eval/sample/invert runs reproduce the trained architecture without
+    # repeating --hpconfig; explicit --hpconfig still overrides.
+    cfg = resolve_config(args.logdir, args.hpconfig, mode=args.mode)
 
     tracing = False
     if args.profile_dir:
@@ -59,6 +61,9 @@ def main() -> None:
             train_lib.eval_loop(cfg)
         elif args.mode == "invert_check":
             train_lib.invert_check(cfg)
+        elif args.mode == "recon":
+            train_lib.reconstruct(cfg, num=args.num_samples,
+                                  out_path=f"{args.logdir}/recons.npy")
         elif args.mode == "sample":
             train_lib.sample(cfg, num=args.num_samples,
                              temperature=[float(t) for t in
