@@ -58,6 +58,7 @@ def main() -> None:
 
     t0 = time.time()
     state = ts.init_train_state(cfg, jax.random.PRNGKey(0), x)
+    state = ts.place_state(state, mesh)  # avoid 2nd-call recompile
     S = 25
     chunk = ts.make_train_chunk(cfg, mesh, S)
     xs = jax.device_put(np.stack([x] * S),

@@ -157,3 +157,14 @@ def make_train_chunk(cfg: Config, mesh: Mesh, steps: int):
 def init_train_state(cfg: Config, rng, sample_batch) -> TrainState:
     params = get_model(cfg).init_params(cfg, rng, sample_batch)
     return TrainState(params=params, opt=optim.init_state(params))
+
+
+def place_state(state: TrainState, mesh: Mesh) -> TrainState:
+    """Commit the state to the mesh with the replicated sharding the jitted
+    step/chunk expects as INPUT. Freshly-initialized (or npz-restored) state
+    is host-resident/uncommitted, so the first jitted call compiles for that
+    layout and the second call — whose input is the first call's
+    mesh-sharded OUTPUT — triggers a full recompile (minutes on a remote
+    TPU). Placing the state first makes call 0 hit the same executable as
+    every later call."""
+    return jax.device_put(state, NamedSharding(mesh, P()))

@@ -130,6 +130,9 @@ def train(cfg: Config, max_steps: int | None = None,
         if jax.process_index() == 0:
             from iaf_tpu.utils.params import describe
             print(f"[train] {describe(state.params)}")
+    # Commit to the input sharding the jitted step expects: skips the
+    # second-call recompile (host-resident state vs mesh-sharded output).
+    state = ts.place_state(state, mesh)
 
     total = cfg.total_steps if max_steps is None else max_steps
     t_last = time.time()

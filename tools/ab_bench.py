@@ -53,6 +53,7 @@ def build(extra: str):
                            n_test=64, seed=0)
     x = ds.train_x[: cfg.batch_size]
     state = ts.init_train_state(cfg, jax.random.PRNGKey(0), x)
+    state = ts.place_state(state, mesh)  # avoid 2nd-call recompile
     chunk = ts.make_train_chunk(cfg, mesh, S)
     xs = jax.device_put(np.stack([x] * S),
                         NamedSharding(mesh, P(None, "data")))
