@@ -223,3 +223,22 @@ def test_grad_accum_trains_end_to_end(tmp_path):
                  log_every=4, logdir=str(tmp_path))
     state = train_lib.train(cfg)
     assert state is not None
+
+
+def test_place_state_prevents_second_call_recompile():
+    """Without place_state, call 0 (host-resident state) and call 1 (mesh-
+    sharded output state) compile twice; with it, one executable serves all
+    calls. Guards minutes of remote-TPU compile time per train/bench run."""
+    import jax
+    from iaf_tpu.parallel.mesh import make_mesh
+
+    cfg = tiny_cfg().replace(steps_per_dispatch=2)
+    x = fake_batch(cfg, 8, seed=5)
+    mesh = make_mesh(cfg)
+    state = ts.init_train_state(cfg, jax.random.PRNGKey(0), x)
+    state = ts.place_state(state, mesh)
+    chunk = ts.make_train_chunk(cfg, mesh, 2)
+    xs = np.stack([x, x])
+    for i in range(3):
+        state, _ = chunk(state, jax.random.PRNGKey(1), np.int32(2 * i), xs)
+    assert chunk._cache_size() == 1
