@@ -155,7 +155,11 @@ def make_train_chunk(cfg: Config, mesh: Mesh, steps: int):
 
 
 def init_train_state(cfg: Config, rng, sample_batch) -> TrainState:
-    params = get_model(cfg).init_params(cfg, rng, sample_batch)
+    # Jitted: eager data-dependent init dispatches hundreds of small ops,
+    # which costs ~10 min over a remote-tunneled TPU; one compiled (and
+    # persistently cached) program runs in seconds.
+    init = jax.jit(partial(get_model(cfg).init_params, cfg))
+    params = init(rng, jnp.asarray(sample_batch))
     return TrainState(params=params, opt=optim.init_state(params))
 
 
