@@ -64,7 +64,6 @@ class Config:
     num_blocks: int = 2               # blocks of stochastic layers
     k: int = 1                        # importance samples (eval uses >1)
     kl_min: float = 0.25              # free bits per z-channel (0 disables)
-    enum_iaf: int = 0                 # reserved (reference flag parity)
     # AR posterior: number/width of hidden masked-conv layers in ar_multiconv2d
     depth_ar: int = 2                 # hidden masked conv layers ("[h_size]*depth_ar")
     ar_hidden_size: int = 0           # 0 -> use h_size
@@ -98,7 +97,11 @@ class Config:
     # Sequential micro-batches per optimizer step (lax.scan): activation
     # memory shrinks A-fold, so paper-scale global batches fit fewer chips.
     grad_accum: int = 1
-    batch_size: int = 16              # per-replica examples (ref: per-GPU 16?32)
+    # GLOBAL batch (split across the mesh's data axis like the reference's
+    # tf.split across towers). NOTE: upstream batch_size was PER-GPU, so a
+    # reference command with batch_size=B on N GPUs needs batch_size=B*N
+    # here for the same effective batch (README "Reproduction").
+    batch_size: int = 16
     total_steps: int = 1_000_000
     seed: int = 123
     # Steps fused into one device program via lax.scan (1 = step-per-dispatch).
@@ -106,6 +109,21 @@ class Config:
     # and unchunked trajectories bit-identical. log/ckpt/eval cadences are
     # rounded to chunk boundaries.
     steps_per_dispatch: int = 1
+
+    # lax.scan ONE compiled layer body over the stacked per-layer params
+    # (params["blocks"], leading dim L) instead of unrolling L copies.
+    # Either way the params stay STACKED (~25 large optimizer leaves instead
+    # of 428 tiny ones); the flag only picks the execution form, with
+    # identical math, keys, and trajectories. Measured on TPU (interleaved
+    # A/B, paper config): scan 23.6 vs unroll 31.0 steps/s — scan blocks
+    # cross-layer fusion/overlap, so unrolled is the perf default; scan
+    # remains the choice for compile-time- or memory-constrained runs
+    # (pairs with remat).
+    scan_blocks: bool = False
+    # Rematerialize the per-layer bodies in backward (jax.checkpoint on the
+    # scan body): activation memory ~L-fold smaller for ~1/3 more FLOPs.
+    # Only applies when scan_blocks=true.
+    remat: bool = False
 
     # --- precision / kernels ---
     compute_dtype: str = "float32"    # bfloat16 opt-in, gated on bits/dim parity
@@ -141,6 +159,9 @@ class Config:
     eval_every: int = 0               # 0 = off
     fail_after_step: int = 0          # fault injection: crash after N steps (0=off)
     tensorboard: bool = False         # also mirror metrics to TB event files
+    # Sample/recon tiles on the in-train eval cadence (reference img_tile TB
+    # summaries); written to logdir/images/*.npy + the TB mirror.
+    image_summaries: bool = True
 
     # ------------------------------------------------------------------
     def parse(self, spec: str) -> "Config":

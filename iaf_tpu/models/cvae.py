@@ -11,9 +11,33 @@ Architecture (NHWC, TPU-preferred layout):
   KL, residual decode) -> stride-2 deconv -> discretized-logistic likelihood
   with scalar learned ``dec_log_stdv``.
 
+TPU-native layer stacking: all ``num_blocks * depth`` stochastic layers are
+shape-identical (the trunk stays [B, H/2, W/2, h_size] throughout — the
+reference's per-layer Python loop in ``CVAE1._forward`` builds L copies of
+the same graph). Here the per-layer parameters live as ONE subtree
+``params["blocks"]`` whose every leaf has leading dim L, so the
+optimizer/EMA update touches ~25 large stacked arrays instead of 428 tiny
+per-layer leaves (HBM-bound instead of overhead-bound) in EITHER execution
+form. The execution form is selectable: ``scan_blocks=true`` ``lax.scan``s
+a single compiled layer body over the stack (~L-fold less program to
+compile, pairs with ``remat`` for ~L-fold less activation memory);
+``scan_blocks=false`` (the default) unrolls a Python loop over sliced
+stacked params. Both run identical math with identical RNG keys and
+trajectories (tests/test_scan_blocks.py). Measured on TPU (interleaved A/B,
+paper config): scan 23.6 vs unroll 31.0 steps/s — the scan carry serializes
+layers and blocks XLA's cross-layer fusion/overlap, so unrolled is the perf
+default and scan is the compile-time/memory option.
+
 Everything is a pure function over a nested params pytree threaded by
-``iaf_tpu.nn.layers.Ctx``; ``init_params`` runs the same forward in init mode
-to perform the weight-norm data-dependent initialization (SURVEY.md §3.5).
+``iaf_tpu.nn.layers.Ctx``; ``init_params`` runs the same sequencing in init
+mode to perform the weight-norm data-dependent initialization (SURVEY.md
+§3.5), sequencing the init bodies the same way.
+
+RNG discipline: every layer gets a base key ``fold_name(step_key,
+"block_i/layer_j")`` (stacked and fed through the scan), and per-site keys
+fold the site name into that base — the key stream stays a pure function of
+(seed, step, site path), independent of device layout and of
+scan-vs-unrolled execution.
 
 Flow parameterizations (config ``flow_update``):
   * "division" (TF stack):    z <- (z - 0.1*m) / exp(0.1*s),  logq += 0.1*s
@@ -30,6 +54,7 @@ import jax
 import jax.numpy as jnp
 
 from iaf_tpu.core.config import Config
+from iaf_tpu.core.rng import fold_name
 from iaf_tpu.distributions import (
     DiagonalGaussian,
     compute_lowerbound,
@@ -72,6 +97,30 @@ def _split(x: jax.Array, sizes) -> list[jax.Array]:
         out.append(x[..., start:start + s])
         start += s
     return out
+
+
+def _layer_names(cfg: Config):
+    return [f"block_{i}/layer_{j}"
+            for i in range(cfg.num_blocks) for j in range(cfg.depth)]
+
+
+def _layer_keys(cfg: Config, rng: jax.Array) -> jax.Array:
+    """Stacked per-layer base keys [L, ...]: fold each layer's stable name
+    into the step key OUTSIDE the scan (string folding is trace-static)."""
+    return jnp.stack([fold_name(rng, name) for name in _layer_names(cfg)])
+
+
+def _stack_trees(trees):
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def _slice_tree(tree, i):
+    return jax.tree.map(lambda a: a[i], tree)
+
+
+def top_layer_params(params):
+    """The topmost (first-decoded) stochastic layer's param slice."""
+    return _slice_tree(params["blocks"], -1)
 
 
 # ---------------------------------------------------------------------------
@@ -178,80 +227,104 @@ def iaf_layer_down(
 
 
 # ---------------------------------------------------------------------------
+# Stacked-block execution: scan (default) and unrolled parity twin
+# ---------------------------------------------------------------------------
+
+def _run_up(cfg: Config, blocks, keys, h, compute_dtype):
+    """All bottom-up layer passes. Returns (h, stacked LayerStats [L, ...])."""
+
+    def body(carry, inp):
+        lp, key = inp
+        lctx = Ctx(params=lp, rng=key, compute_dtype=compute_dtype)
+        h2, st = iaf_layer_up(cfg, lctx, carry)
+        return constrain(h2, _ACT_SPEC), st
+
+    if cfg.scan_blocks:
+        fn = jax.checkpoint(body) if cfg.remat else body
+        return jax.lax.scan(fn, h, (blocks, keys))
+    sts = []
+    n = cfg.num_blocks * cfg.depth
+    for i in range(n):
+        h, st = body(h, (_slice_tree(blocks, i), keys[i]))
+        sts.append(st)
+    return h, _stack_trees(sts)
+
+
+def _run_down(cfg: Config, blocks, keys, stats, h, mode, compute_dtype):
+    """All top-down layer passes (layer L-1 first). Returns
+    (h, kl_obj [L, B], kl_cost [L, B]) with layer index in bottom-up order."""
+
+    def body(carry, inp):
+        lp, key, st = inp
+        lctx = Ctx(params=lp, rng=key, compute_dtype=compute_dtype)
+        h2, kl_obj, kl_cost = iaf_layer_down(cfg, lctx, carry, st, mode)
+        return constrain(h2, _ACT_SPEC), (kl_obj, kl_cost)
+
+    if cfg.scan_blocks:
+        fn = jax.checkpoint(body) if cfg.remat else body
+        return jax.lax.scan(fn, h, (blocks, keys, stats), reverse=True)
+    n = cfg.num_blocks * cfg.depth
+    objs, costs = [None] * n, [None] * n
+    for i in reversed(range(n)):
+        h, (objs[i], costs[i]) = body(
+            h, (_slice_tree(blocks, i), keys[i], _slice_tree(stats, i)))
+    return h, (jnp.stack(objs), jnp.stack(costs))
+
+
+# ---------------------------------------------------------------------------
 # CVAE
 # ---------------------------------------------------------------------------
 
-def _layer_names(cfg: Config):
-    return [f"block_{i}/layer_{j}"
-            for i in range(cfg.num_blocks) for j in range(cfg.depth)]
-
-
 def cvae_forward(cfg: Config, ctx: Ctx, x: jax.Array, mode: str = "train",
-                 k: int | None = None, temperature: float = 1.0) -> ModelOut:
-    """Full forward pass.
+                 k: int | None = None) -> ModelOut:
+    """Full forward pass (apply mode; init is ``init_params``).
 
     ``x`` is uint8/float imagery in [0, 256); ``k`` importance samples
     replicate the batch (eval path, ``CVAE1._forward`` tile-by-k). ``mode``
-    is one of "train" | "eval" | "sample".
+    is one of "train" | "eval" (generative sampling is ``cvae_sample``).
     """
+    assert not ctx.init, "init goes through init_params"
+    assert mode in ("train", "eval"), mode
     k = cfg.k if k is None else k
     sks = (cfg.stem_kernel_size, cfg.stem_kernel_size)
     x = x.astype(jnp.float32) / 256.0 - 0.5
-    orig_x = x
     if k > 1:
         x = jnp.repeat(x, k, axis=0)
 
     h = L.conv2d(ctx, "x_enc", x, cfg.h_size, filter_size=sks, stride=(2, 2))
     h = constrain(h, _ACT_SPEC)
 
-    names = _layer_names(cfg)
-    stats: dict[str, LayerStats] = {}
-    if mode != "sample":
-        for name in names:
-            h, st = iaf_layer_up(cfg, ctx.scope(name), h)
-            h = constrain(h, _ACT_SPEC)
-            stats[name] = st
+    blocks = ctx.root["blocks"]
+    keys = _layer_keys(cfg, ctx.rng)
+    h, stats = _run_up(cfg, blocks, keys, h, ctx.compute_dtype)
 
     # Top-down from a learned per-channel bias (``h_top`` in tf_train.py).
-    # Small random init (not zeros): an exactly-zero h_top makes the topmost
-    # down_conv1's data-dependent init degenerate (zero activation variance).
     h_top = ctx.param("h_top", (cfg.h_size,), L.normal_init(0.05))
     dec_hw = cfg.image_size // 2
     batch = x.shape[0]
     h = jnp.broadcast_to(h_top, (batch, dec_hw, dec_hw, cfg.h_size))
 
-    kl_obj_total = jnp.zeros((batch,), jnp.float32)
-    kl_cost_total = jnp.zeros((batch,), jnp.float32)
-    kl_layers = []
-    for name in reversed(names):
-        h, kl_obj, kl_cost = iaf_layer_down(
-            cfg, ctx.scope(name), h, stats.get(name), mode)
-        h = constrain(h, _ACT_SPEC)
-        kl_obj_total = kl_obj_total + kl_obj
-        kl_cost_total = kl_cost_total + kl_cost
-        kl_layers.append(jnp.mean(kl_cost))
-    # bottom-up order (layer 0 first) for readability in logs
-    kl_per_layer = jnp.stack(kl_layers[::-1])
+    h, (kl_objs, kl_costs) = _run_down(cfg, blocks, keys, stats, h, mode,
+                                       ctx.compute_dtype)
+    kl_obj_total = jnp.sum(kl_objs, axis=0)    # [B]
+    kl_cost_total = jnp.sum(kl_costs, axis=0)  # [B]
+    kl_per_layer = jnp.mean(kl_costs, axis=1)  # [L], bottom-up order
 
     h = L.elu(h)
     x_out = L.deconv2d(ctx, "x_dec", h, cfg.channels, filter_size=sks,
                        stride=(2, 2))
 
     dec_log_stdv = ctx.param("dec_log_stdv", (), L.zeros_init)
-    if mode == "sample":
-        log_pxz = jnp.zeros((batch,), jnp.float32)
+    from iaf_tpu.ops import disc_logistic_logp, use_pallas
+    if use_pallas(cfg.kernels):
+        log_pxz = disc_logistic_logp(x_out, dec_log_stdv, x)
     else:
-        from iaf_tpu.ops import disc_logistic_logp, use_pallas
-        if (not ctx.init) and use_pallas(cfg.kernels):
-            log_pxz = disc_logistic_logp(x_out, dec_log_stdv, x)
-        else:
-            log_pxz = discretized_logistic(x_out, dec_log_stdv, sample=x)
+        log_pxz = discretized_logistic(x_out, dec_log_stdv, sample=x)
 
     # Training objective: free-bits KL; reported bound: raw KL (k-sample IW).
     loss = jnp.mean(kl_obj_total - log_pxz)
     elbo_nats = compute_lowerbound(log_pxz, kl_cost_total, k)  # [B]
     bits_per_dim = jnp.mean(elbo_nats) / (LOG2 * cfg.num_pixels)
-    del orig_x, temperature  # temperature used in cvae_sample only
     return ModelOut(
         loss=loss,
         elbo_nats=elbo_nats,
@@ -270,11 +343,58 @@ def _compute_dtype(cfg: Config):
 
 
 def init_params(cfg: Config, rng: jax.Array, sample_batch: jax.Array):
-    """Weight-norm data-dependent init: run the forward in init mode on a
-    real batch; ``g``/``b`` of every weight-norm layer are calibrated from
-    the activation statistics (SURVEY.md §3.5). Pure and jittable."""
+    """Weight-norm data-dependent init: run the forward sequencing in init
+    mode on a real batch; ``g``/``b`` of every weight-norm layer are
+    calibrated from the activation statistics (SURVEY.md §3.5). Pure and
+    jittable; the per-layer init bodies are scanned like the forward
+    (``scan_blocks``), so ONE layer body compiles instead of L."""
     ctx = Ctx(params={}, rng=rng, init=True)
-    cvae_forward(cfg, ctx, sample_batch, mode="train")
+    sks = (cfg.stem_kernel_size, cfg.stem_kernel_size)
+    x = sample_batch.astype(jnp.float32) / 256.0 - 0.5
+    h = L.conv2d(ctx, "x_enc", x, cfg.h_size, filter_size=sks, stride=(2, 2))
+
+    keys = _layer_keys(cfg, rng)
+    n = cfg.num_blocks * cfg.depth
+
+    def up_body(carry, key):
+        lctx = Ctx(params={}, rng=key, init=True)
+        h2, st = iaf_layer_up(cfg, lctx, carry)
+        return h2, (lctx.root, st)
+
+    if cfg.scan_blocks:
+        h, (up_p, stats) = jax.lax.scan(up_body, h, keys)
+    else:
+        ups, sts = [], []
+        for i in range(n):
+            h, (p, st) = up_body(h, keys[i])
+            ups.append(p)
+            sts.append(st)
+        up_p, stats = _stack_trees(ups), _stack_trees(sts)
+
+    h_top = ctx.param("h_top", (cfg.h_size,), L.normal_init(0.05))
+    dec_hw = cfg.image_size // 2
+    h = jnp.broadcast_to(h_top, (x.shape[0], dec_hw, dec_hw, cfg.h_size))
+
+    def down_body(carry, inp):
+        key, st = inp
+        lctx = Ctx(params={}, rng=key, init=True)
+        h2, _, _ = iaf_layer_down(cfg, lctx, carry, st, mode="train")
+        return h2, lctx.root
+
+    if cfg.scan_blocks:
+        h, down_p = jax.lax.scan(down_body, h, (keys, stats), reverse=True)
+    else:
+        downs = [None] * n
+        for i in reversed(range(n)):
+            h, downs[i] = down_body(h, (keys[i], _slice_tree(stats, i)))
+        down_p = _stack_trees(downs)
+
+    # up/down param groups are disjoint module names within one layer scope
+    ctx.root["blocks"] = {**up_p, **down_p}
+
+    h = L.elu(h)
+    L.deconv2d(ctx, "x_dec", h, cfg.channels, filter_size=sks, stride=(2, 2))
+    ctx.param("dec_log_stdv", (), L.zeros_init)
     return ctx.root
 
 
@@ -302,31 +422,29 @@ def posterior_flow_probe(cfg: Config, params, rng: jax.Array, x: jax.Array):
     xf = x.astype(jnp.float32) / 256.0 - 0.5
     h = L.conv2d(ctx, "x_enc", xf, hs, filter_size=sks, stride=(2, 2))
 
-    names = _layer_names(cfg)
-    stats: dict[str, LayerStats] = {}
-    for name in names:
-        h, st = iaf_layer_up(cfg, ctx.scope(name), h)
-        stats[name] = st
+    keys = _layer_keys(cfg, rng)
+    blocks = params["blocks"]
+    h, stats = _run_up(cfg, blocks, keys, h, None)
+    top_stats = _slice_tree(stats, -1)  # first layer decoded top-down
+    top = Ctx(params=top_layer_params(params), rng=keys[-1])
 
-    top = names[-1]  # first layer decoded top-down
     h_top = ctx.param("h_top", (hs,), L.normal_init(0.05))
     dec_hw = cfg.image_size // 2
     h = jnp.broadcast_to(h_top, (xf.shape[0], dec_hw, dec_hw, hs))
-    sub = ctx.scope(top)
     xd = L.elu(h)
-    xd = L.conv2d(sub, "down_conv1", xd, 4 * zs + 2 * hs, filter_size=ks,
+    xd = L.conv2d(top, "down_conv1", xd, 4 * zs + 2 * hs, filter_size=ks,
                   init_scale=cfg.stat_init_scale)
     _, _, rz_mean, rz_logsd, down_context, _ = _split(
         xd, [zs, zs, zs, zs, hs, hs])
-    posterior = DiagonalGaussian(stats[top].qz_mean + rz_mean,
-                                 2.0 * (stats[top].qz_logsd + rz_logsd))
-    z = posterior.sample(sub.key("z_post"))
-    context = stats[top].up_context + down_context
+    posterior = DiagonalGaussian(top_stats.qz_mean + rz_mean,
+                                 2.0 * (top_stats.qz_logsd + rz_logsd))
+    z = posterior.sample(top.key("z_post"))
+    context = top_stats.up_context + down_context
     n_h = [cfg.ar_hidden] * cfg.depth_ar
 
     def ar_fn(zq):
-        m, s = L.ar_multiconv2d(Ctx(params=params, path=top), "ar1", zq,
-                                context, n_h, [zs, zs], filter_size=ks,
+        m, s = L.ar_multiconv2d(Ctx(params=top_layer_params(params)), "ar1",
+                                zq, context, n_h, [zs, zs], filter_size=ks,
                                 trim_rows=cfg.ar_row_trim,
                                 merge_heads=cfg.merge_ar_heads)
         return m * 0.1, s * 0.1
@@ -338,18 +456,22 @@ def cvae_sample(cfg: Config, params, rng: jax.Array, num: int,
                 temperature: float = 1.0) -> jax.Array:
     """Generative sampling (``mode="sample"`` branch of ``CVAE1._forward``):
     skip the up pass, draw each z from its prior (scaled by ``temperature``),
-    decode. Returns images in [0, 256)."""
+    decode. Returns images in [0, 256). Scans the stacked layer params like
+    the training forward (one compiled decode body)."""
     zs, hs = cfg.z_size, cfg.h_size
     ks = (cfg.kernel_size, cfg.kernel_size)
     sks = (cfg.stem_kernel_size, cfg.stem_kernel_size)
     ctx = Ctx(params=params, rng=rng, init=False)
-    names = _layer_names(cfg)
+    keys = _layer_keys(cfg, rng)
+    blocks = params["blocks"]
     h_top = ctx.param("h_top", (hs,), L.normal_init(0.05))
     dec_hw = cfg.image_size // 2
     h = jnp.broadcast_to(h_top, (num, dec_hw, dec_hw, hs))
-    for name in reversed(names):
-        sub = ctx.scope(name)
-        x = L.elu(h)
+
+    def body(carry, inp):
+        lp, key = inp
+        sub = Ctx(params=lp, rng=key)
+        x = L.elu(carry)
         x = L.conv2d(sub, "down_conv1", x, 4 * zs + 2 * hs, filter_size=ks)
         pz_mean, pz_logsd, _, _, _, h_det = _split(x, [zs, zs, zs, zs, hs, hs])
         eps = jax.random.normal(sub.key("z_prior"), pz_mean.shape)
@@ -357,7 +479,9 @@ def cvae_sample(cfg: Config, params, rng: jax.Array, num: int,
         hidden = jnp.concatenate([z, h_det], axis=-1)
         hidden = L.elu(hidden)
         hidden = L.conv2d(sub, "down_conv2", hidden, hs, filter_size=ks)
-        h = h + 0.1 * hidden
+        return carry + 0.1 * hidden, None
+
+    h, _ = jax.lax.scan(body, h, (blocks, keys), reverse=True)
     h = L.elu(h)
     x_out = L.deconv2d(ctx, "x_dec", h, cfg.channels, filter_size=sks,
                        stride=(2, 2))

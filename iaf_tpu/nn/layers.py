@@ -99,7 +99,8 @@ class Ctx:
     def key(self, name: str) -> jax.Array:
         if self.rng is None:
             raise ValueError(f"Ctx has no rng but {self.path}/{name} asked for one")
-        return fold_name(self.rng, f"{self.path}/{name}")
+        path = f"{self.path}/{name}" if self.path else name
+        return fold_name(self.rng, path)
 
 
 def normal_init(stddev: float):

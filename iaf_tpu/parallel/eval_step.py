@@ -58,7 +58,8 @@ def make_eval_step(cfg: Config, mesh: Mesh, k: int | None = None):
     assert k % n_shards == 0, (k, n_shards)
     k_local = k // n_shards
     k_chunk = min(k_local, max(1, cfg.eval_k_chunk))
-    assert k_local % k_chunk == 0, (k_local, k_chunk)
+    while k_local % k_chunk:  # round down to a divisor of the local k
+        k_chunk -= 1
     n_chunks = k_local // k_chunk
 
     def local_eval(params, rng, batch):

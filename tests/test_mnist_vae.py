@@ -36,12 +36,24 @@ def test_logdet_matches_slogdet_vector_chain(update):
     """Full flow_depth=2 chain with ordering reversal: accumulated logq
     delta == -log|det J| of the composite transform."""
     cfg = tiny_cfg(flow_update=update)
-    x = fake_binary_batch(cfg, n=2)
+    # init on a decent batch: the data-dependent g = 1/std calibration is
+    # garbage on 2 samples (std of 2 points can be ~0 -> huge g -> exp(s)
+    # overflow in the division flow)
+    x = fake_binary_batch(cfg, n=16)
     params = mnist_vae.init_params(cfg, jax.random.PRNGKey(0), x)
     from iaf_tpu.nn.layers import Ctx
 
-    context = jnp.zeros((1, cfg.ar_hidden))
-    z0 = jax.random.normal(jax.random.PRNGKey(5), (1, cfg.z_size))
+    # Probe IN distribution: the MADE layers' data-dependent init calibrated
+    # (g, b) against real encoder contexts and real posterior samples (step
+    # t's weights against step t-1's output scale), so an arbitrary z/zero
+    # context can push 0.1*s past exp() overflow on this tiny config. Use
+    # the model's own posterior sample + context, like forward() does.
+    from iaf_tpu.distributions import DiagonalGaussian
+    qz_mean, qz_logsd, ctx_enc = mnist_vae._encoder(
+        cfg, Ctx(params=params), x.astype(jnp.float32) / 255.0 - 0.5)
+    posterior = DiagonalGaussian(qz_mean[:1], 2.0 * qz_logsd[:1])
+    context = ctx_enc[:1]
+    z0 = posterior.sample(jax.random.PRNGKey(5))
 
     def chain(z):
         zo, logq = mnist_vae._iaf_chain(

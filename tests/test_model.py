@@ -36,8 +36,11 @@ def test_init_and_forward_shapes():
     assert out.x_out.shape == (4, 8, 8, 3)
     assert np.isfinite(float(out.loss))
     assert np.isfinite(np.asarray(out.elbo_nats)).all()
-    # params exist for every block
-    assert "block_0" in params and "block_1" in params
+    # stacked per-layer params: every leaf carries leading dim L
+    n_layers = cfg.num_blocks * cfg.depth
+    assert "blocks" in params
+    for leaf in jax.tree.leaves(params["blocks"]):
+        assert leaf.shape[0] == n_layers, leaf.shape
     assert "dec_log_stdv" in params and "h_top" in params
 
 

@@ -1,0 +1,126 @@
+"""Scan-over-blocks parity: the lax.scan execution of the stacked per-layer
+params (scan_blocks=true) must reproduce the unrolled Python loop
+(scan_blocks=false, the perf default after the TPU A/B) exactly — same init
+calibration, same forward, same gradients, same training trajectories
+(VERDICT round-1 item #1: "semantics must not change"). Both paths share the
+stacked param layout and the per-layer RNG keys, so differences can only
+come from XLA op ordering."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from iaf_tpu import optim
+from iaf_tpu.core.config import Config
+from iaf_tpu.models import cvae
+
+
+def cfgs(**kw):
+    base = dict(dataset="synthetic", image_size=8, channels=3, z_size=2,
+                h_size=8, depth=2, num_blocks=2, depth_ar=1, ar_hidden_size=8,
+                kl_min=0.1, batch_size=4, seed=0)
+    base.update(kw)
+    scan = Config(**base, scan_blocks=True)
+    unroll = Config(**base, scan_blocks=False)
+    return scan, unroll
+
+
+def _assert_norm_close(a, b, rtol=1e-4):
+    a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+    err = np.linalg.norm(a - b)
+    ref = max(np.linalg.norm(a), 1e-8)
+    assert err <= rtol * ref, (err, ref)
+
+
+def batch(cfg, n=4, seed=0):
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, (n, cfg.image_size, cfg.image_size,
+                                cfg.channels)).astype(np.uint8)
+
+
+def test_init_parity():
+    scan, unroll = cfgs()
+    x = batch(scan)
+    p_scan = jax.jit(lambda r, b: cvae.init_params(scan, r, b))(
+        jax.random.PRNGKey(0), x)
+    p_unroll = jax.jit(lambda r, b: cvae.init_params(unroll, r, b))(
+        jax.random.PRNGKey(0), x)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=1e-5, atol=1e-6),
+        p_scan, p_unroll)
+
+
+def test_forward_and_grad_parity():
+    scan, unroll = cfgs()
+    x = batch(scan)
+    params = cvae.init_params(scan, jax.random.PRNGKey(0), x)
+    key = jax.random.PRNGKey(3)
+
+    o_scan = cvae.apply_fn(scan, params, key, x)
+    o_unroll = cvae.apply_fn(unroll, params, key, x)
+    np.testing.assert_allclose(float(o_scan.loss), float(o_unroll.loss),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(o_scan.elbo_nats),
+                               np.asarray(o_unroll.elbo_nats), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(o_scan.kl_per_layer),
+                               np.asarray(o_unroll.kl_per_layer),
+                               rtol=1e-4, atol=1e-5)
+
+    g_scan = jax.grad(lambda p: cvae.apply_fn(scan, p, key, x).loss)(params)
+    g_unroll = jax.grad(
+        lambda p: cvae.apply_fn(unroll, p, key, x).loss)(params)
+    # scan and unrolled schedules reassociate float sums differently, so
+    # near-zero grad elements drift by ~1% relative; the meaningful parity
+    # criterion is the per-leaf error norm against the leaf's own norm
+    jax.tree.map(_assert_norm_close, g_scan, g_unroll)
+
+
+def test_training_trajectory_parity():
+    scan, unroll = cfgs(kl_min=0.0)
+    x = batch(scan, n=8)
+    params = cvae.init_params(scan, jax.random.PRNGKey(0), x)
+
+    def run(cfg, params, steps=5):
+        state = optim.init_state(params)
+
+        @jax.jit
+        def step(params, state, key):
+            loss, grads = jax.value_and_grad(
+                lambda p: cvae.apply_fn(cfg, p, key, x).loss)(params)
+            params, state = optim.apply_updates(params, grads, state,
+                                                lr=0.01)
+            return params, state, loss
+
+        losses = []
+        for i in range(steps):
+            params, state, loss = step(params, state,
+                                       jax.random.PRNGKey(100 + i))
+            losses.append(float(loss))
+        return losses
+
+    l_scan = run(scan, params)
+    l_unroll = run(unroll, params)
+    np.testing.assert_allclose(l_scan, l_unroll, rtol=1e-4)
+
+
+def test_remat_matches_plain():
+    scan, _ = cfgs()
+    remat = scan.replace(remat=True)
+    x = batch(scan)
+    params = cvae.init_params(scan, jax.random.PRNGKey(0), x)
+    key = jax.random.PRNGKey(3)
+    g = jax.grad(lambda p: cvae.apply_fn(scan, p, key, x).loss)(params)
+    g_r = jax.grad(lambda p: cvae.apply_fn(remat, p, key, x).loss)(params)
+    jax.tree.map(_assert_norm_close, g, g_r)
+
+
+def test_sample_uses_stacked_layout():
+    scan, unroll = cfgs()
+    x = batch(scan)
+    params = cvae.init_params(scan, jax.random.PRNGKey(0), x)
+    img_s = cvae.cvae_sample(scan, params, jax.random.PRNGKey(7), num=2)
+    img_u = cvae.cvae_sample(unroll, params, jax.random.PRNGKey(7), num=2)
+    # sampling always scans (layout-driven); both configs agree exactly
+    np.testing.assert_allclose(np.asarray(img_s), np.asarray(img_u),
+                               rtol=1e-5, atol=1e-3)

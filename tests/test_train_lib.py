@@ -148,8 +148,8 @@ def test_param_introspection():
     assert param_count(params) == sum(
         int(np.prod(s)) for _, s in rows) > 0
     assert "parameters in" in describe(params)
-    # prefix filter scopes to one layer
-    sub = find_trainable_variables(params, prefix="block_0/layer_0")
+    # prefix filter scopes to the stacked per-layer subtree
+    sub = find_trainable_variables(params, prefix="blocks/up_conv1")
     assert 0 < len(sub) < len(rows)
 
 

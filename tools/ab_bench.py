@@ -23,12 +23,17 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 VARIANTS = {
-    "base": "",                        # current defaults (ar_row_trim on)
+    "base": "",                        # current defaults (unrolled stacked)
+    "scan": ",scan_blocks=true",
+    "scan_remat": ",scan_blocks=true,remat=true",
     "notrim": ",ar_row_trim=false",
     "bf16": ",compute_dtype=bfloat16",
     "merge_heads": ",merge_ar_heads=true",
     "merge_heads_bf16": ",merge_ar_heads=true,compute_dtype=bfloat16",
     "pallas": ",kernels=pallas",
+    # batch 64 at fixed examples/s: reported steps/s must be doubled to
+    # compare against batch-32 variants (the harness reports raw steps/s)
+    "batch64": ",batch_size=64",
 }
 
 BASE = ("depth=1,num_blocks=20,kl_min=0.25,learning_rate=0.002,batch_size=32,"
