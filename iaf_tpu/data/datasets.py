@@ -130,16 +130,56 @@ def synthetic_dataset(image_size: int, channels: int, n_train: int = 4096,
                    make(n_test), np.zeros(n_test, np.int32))
 
 
+def _candidate_dirs(data_dir: str) -> list[str]:
+    """Where real archives might be mounted (data-availability probe,
+    VERDICT round-1 item #6): the configured dir first, then conventional
+    mount points, so the paper reproduction starts working the moment data
+    appears without any config change."""
+    cands = [data_dir, os.environ.get("IAF_DATA_DIR"), "/root/data", "/data",
+             "/datasets", os.path.expanduser("~/data")]
+    seen, out = set(), []
+    for d in cands:
+        if d and d not in seen:
+            seen.add(d)
+            out.append(d)
+    return out
+
+
+def real_data_available(name: str, data_dir: str = "./data") -> str | None:
+    """Directory holding the real ``name`` archives, or None. Pure probe —
+    never downloads (zero-egress safe); use at driver/bench/test start."""
+    mnist_names = ["train-images-idx3-ubyte", "train-labels-idx1-ubyte",
+                   "t10k-images-idx3-ubyte", "t10k-labels-idx1-ubyte"]
+    for d in _candidate_dirs(data_dir):
+        if not os.path.isdir(d):
+            continue
+        if name == "cifar10":
+            if (os.path.isdir(os.path.join(d, "cifar-10-batches-py"))
+                    or os.path.isfile(
+                        os.path.join(d, "cifar-10-python.tar.gz"))):
+                return d
+        elif name == "mnist":
+            if all(os.path.isfile(os.path.join(d, n + s))
+                   for n in mnist_names for s in [""]) or \
+               all(os.path.isfile(os.path.join(d, n + ".gz"))
+                   for n in mnist_names):
+                return d
+    return None
+
+
 def load_dataset(name: str, data_dir: str, image_size: int = 32,
                  channels: int = 3) -> tuple[Dataset, bool]:
-    """Returns (dataset, is_real). Falls back to synthetic when the real
-    archives are unavailable (zero-egress environments)."""
+    """Returns (dataset, is_real). Probes the conventional mount points for
+    real archives first, then attempts one download into ``data_dir``, then
+    falls back to synthetic (zero-egress environments)."""
     if name == "cifar10":
-        ds = load_cifar10(data_dir)
+        found = real_data_available(name, data_dir)
+        ds = load_cifar10(found or data_dir)
         if ds is not None:
             return ds, True
     elif name == "mnist":
-        ds = load_mnist(data_dir)
+        found = real_data_available(name, data_dir)
+        ds = load_mnist(found or data_dir)
         if ds is not None:
             return ds, True
     elif name != "synthetic":

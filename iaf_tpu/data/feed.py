@@ -29,19 +29,31 @@ def host_shard_indices(n: int, process_index: int, process_count: int,
 
 def batch_iterator(images: np.ndarray, global_batch: int, seed: int,
                    process_index: int | None = None,
-                   process_count: int | None = None) -> Iterator[np.ndarray]:
+                   process_count: int | None = None,
+                   start_step: int = 0) -> Iterator[np.ndarray]:
     """Infinite iterator of this host's [global_batch / nprocs, ...] slices.
-    Epoch permutations are derived from (seed, epoch) so every host agrees."""
+    Epoch permutations are derived from (seed, epoch) so every host agrees.
+
+    ``start_step`` fast-forwards the data order on checkpoint resume: the
+    stream is a pure function of (seed, step), so a resumed run continues
+    with the batches an uninterrupted run would have seen instead of
+    replaying epoch 0 (the bit-exact-resume discipline extended to data
+    order)."""
     pidx = jax.process_index() if process_index is None else process_index
     pcnt = jax.process_count() if process_count is None else process_count
     assert global_batch % pcnt == 0, (global_batch, pcnt)
     local_batch = global_batch // pcnt
-    epoch = 0
+    per_host = len(images) // pcnt
+    batches_per_epoch = max(1, per_host // local_batch)
+    epoch = start_step // batches_per_epoch
+    skip = start_step % batches_per_epoch
     while True:
         rng = np.random.RandomState((seed * 1_000_003 + epoch) % (2**31 - 1))
         idx = host_shard_indices(len(images), pidx, pcnt, rng)
-        for start in range(0, len(idx) - local_batch + 1, local_batch):
+        starts = range(0, len(idx) - local_batch + 1, local_batch)
+        for start in list(starts)[skip:]:
             yield images[idx[start:start + local_batch]]
+        skip = 0
         epoch += 1
 
 
@@ -60,9 +72,83 @@ def make_global_chunk(local_batches: np.ndarray, mesh: jax.sharding.Mesh,
     return jax.make_array_from_process_local_data(sharding, local_batches)
 
 
+class ChunkPrefetcher:
+    """Double-buffered input assembly (the reference's TF queue-runner
+    overlap, SURVEY.md §2.1): a background thread stacks the next dispatch's
+    ``steps_per_dispatch`` local batches and places them on the mesh while
+    the device executes the current chunk. Yields ``(n_steps, global_array)``
+    — a [S, B, ...] chunk when S > 1, a [B, ...] batch when S == 1 — and
+    sizes the final tail chunk so exactly ``total_steps - start_step`` steps
+    are produced."""
+
+    def __init__(self, data_iter, mesh, steps_per_dispatch: int,
+                 total_steps: int, start_step: int = 0, first_local=None,
+                 depth: int = 2):
+        import queue
+        import threading
+
+        self._q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+        self._err: BaseException | None = None
+        S = max(1, steps_per_dispatch)
+
+        def worker():
+            try:
+                step = start_step
+                first = first_local
+                while step < total_steps:
+                    n = min(S, total_steps - step)
+                    locals_ = []
+                    for _ in range(n):
+                        if first is not None:
+                            locals_.append(first)
+                            first = None
+                        else:
+                            locals_.append(next(data_iter))
+                    if S > 1:
+                        chunk = make_global_chunk(np.stack(locals_), mesh)
+                    else:
+                        chunk = make_global_batch(locals_[0], mesh)
+                    self._q.put((n, chunk))
+                    step += n
+            except BaseException as e:  # surfaced on the consumer side
+                self._err = e
+            finally:
+                self._q.put(None)
+
+        self._t = threading.Thread(target=worker, daemon=True,
+                                   name="iaf-input-prefetch")
+        self._t.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is None:
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item
+
+
 def dynamic_binarize(batch: np.ndarray, rng: np.random.RandomState) -> np.ndarray:
     """MNIST dynamic binarization (Theano ``train.py`` parity): sample each
     pixel Bernoulli(intensity/255) fresh every epoch, returned as uint8*255
     so the model-side /256 preprocessing still applies."""
     p = batch.astype(np.float32) / 255.0
     return (rng.uniform(size=batch.shape) < p).astype(np.uint8) * 255
+
+
+def binarize_rng(seed: int, step: int) -> np.random.RandomState:
+    """Per-step binarization RNG: pure function of (seed, step) so resumed
+    runs binarize identically to uninterrupted ones."""
+    return np.random.RandomState((seed * 9_176_471 + 17 + step) % (2**31 - 1))
+
+
+def binarized_iterator(it: Iterator[np.ndarray], seed: int,
+                       start_step: int = 0) -> Iterator[np.ndarray]:
+    """Dynamic binarization keyed by (seed, step); resume-consistent."""
+    step = start_step
+    for b in it:
+        yield dynamic_binarize(b, binarize_rng(seed, step))
+        step += 1

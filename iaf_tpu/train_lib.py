@@ -84,19 +84,29 @@ def train(cfg: Config, max_steps: int | None = None,
         from iaf_tpu.core.config import save_hparams
         save_hparams(cfg, cfg.logdir)  # eval/sample runs pick this up as base
 
+    # Restore BEFORE building the data iterator so the data order can be
+    # fast-forwarded to the resume step (a resumed run must see the batches
+    # an uninterrupted run would have, not replay epoch 0).
+    start_step = 0
+    restored = None
+    latest = ckpt.latest_checkpoint(cfg.logdir)
+    if latest is not None:
+        start_step, restored, restored_key = tree_to_state(
+            ckpt.restore(latest))
+        if jax.process_index() == 0:
+            print(f"[train] restored {latest} at step {start_step}")
+
     if data_iter is None:
         ds, is_real = load_dataset(cfg.dataset, cfg.data_dir, cfg.image_size,
                                    cfg.channels)
         if (jax.process_index() == 0 and not is_real
                 and cfg.dataset != "synthetic"):
             print(f"[train] dataset {cfg.dataset!r} unavailable -> synthetic")
-        images = ds.train_x
-        rng_bin = np.random.RandomState(cfg.seed + 17)
-        raw_iter = feed.batch_iterator(images, cfg.batch_size, cfg.seed)
+        data_iter = feed.batch_iterator(ds.train_x, cfg.batch_size, cfg.seed,
+                                        start_step=start_step)
         if cfg.binarize:
-            data_iter = (feed.dynamic_binarize(b, rng_bin) for b in raw_iter)
-        else:
-            data_iter = raw_iter
+            data_iter = feed.binarized_iterator(data_iter, cfg.seed,
+                                                start_step=start_step)
 
     S = max(1, cfg.steps_per_dispatch)
     if S > 1:
@@ -113,15 +123,23 @@ def train(cfg: Config, max_steps: int | None = None,
         eds, _ = load_dataset(cfg.dataset, cfg.data_dir, cfg.image_size,
                               cfg.channels)
         eval_images = eds.test_x[: cfg.eval_batch_size]
-        eval_fn = ev.make_eval_step(cfg, mesh, k=min(cfg.eval_k, 64))
+        if cfg.binarize:
+            # eval must use the same protocol as training: SAMPLED
+            # binarization (fixed seed), not the easier 0.5-threshold that
+            # raw grayscale would effectively get (the reported NLL is only
+            # comparable to the ~79.1-nat reference target when sampled)
+            eval_images = feed.dynamic_binarize(
+                eval_images, feed.binarize_rng(cfg.seed, -1))
+        # heartbeat k, rounded UP to a multiple of the data-axis size so the
+        # sharded eval divides evenly on any mesh
+        n_sh = mesh.shape["data"]
+        k_beat = min(cfg.eval_k, 64)
+        k_beat = ((k_beat + n_sh - 1) // n_sh) * n_sh
+        eval_fn = ev.make_eval_step(cfg, mesh, k=k_beat)
 
-    start_step = 0
-    latest = ckpt.latest_checkpoint(cfg.logdir)
     first_local = next(data_iter)
-    if latest is not None:
-        start_step, state, base_key = tree_to_state(ckpt.restore(latest))
-        if jax.process_index() == 0:
-            print(f"[train] restored {latest} at step {start_step}")
+    if restored is not None:
+        state, base_key = restored, restored_key
     else:
         init_batch = feed.make_global_batch(first_local, mesh)
         # dedicated fold for param init (fold_in requires a uint32-range int)
@@ -139,23 +157,23 @@ def train(cfg: Config, max_steps: int | None = None,
     steps_since = 0
     tail_fns: dict[int, Any] = {}
     step = start_step
-    while step < total:
-        n = min(S, total - step)
+    # Background-thread input assembly (double buffering): the next chunk's
+    # host stacking + device placement overlaps the current chunk's compute
+    # (the reference overlapped input via TF queue runners, SURVEY §2.1).
+    prefetch = feed.ChunkPrefetcher(data_iter, mesh, S, total,
+                                    start_step=start_step,
+                                    first_local=first_local)
+    for n, batches in prefetch:
         if S > 1:
-            locals_ = [first_local if (step == start_step and j == 0)
-                       else next(data_iter) for j in range(n)]
             if n == S:
                 fn = chunk_fn
             else:  # tail chunk: compile once per distinct tail length
                 fn = tail_fns.setdefault(n, ts.make_train_chunk(cfg, mesh, n))
-            batches = feed.make_global_chunk(np.stack(locals_), mesh)
             state, stacked = fn(state, base_key, np.int32(step), batches)
             metrics = jax.tree.map(lambda x: x[-1], stacked)
         else:
-            local = first_local if step == start_step else next(data_iter)
-            batch = feed.make_global_batch(local, mesh)
             key = jax.random.fold_in(base_key, step)
-            state, metrics = step_fn(state, key, batch)
+            state, metrics = step_fn(state, key, batches)
         step += n
         steps_since += n
 
@@ -188,6 +206,9 @@ def train(cfg: Config, max_steps: int | None = None,
             else:
                 logger.log(step,
                            eval_bits_per_dim=m / (LOG2 * cfg.num_pixels))
+            if cfg.image_summaries and jax.process_index() == 0:
+                _log_image_summaries(cfg, state, base_key, step,
+                                     eval_images, logger)
             # eval wall time counts against the next steps/s window; the
             # eval_loop mode is the non-intrusive path
 
@@ -198,6 +219,36 @@ def train(cfg: Config, max_steps: int | None = None,
                       keep=cfg.ckpt_keep)
     logger.close()
     return state
+
+
+def _log_image_summaries(cfg: Config, state, base_key, step: int,
+                         eval_images: np.ndarray, logger) -> None:
+    """In-train sample + reconstruction tiles on the EMA weights (the
+    reference's Supervisor-loop ``img_tile`` TB image summaries,
+    SURVEY.md §5.5)."""
+    from iaf_tpu.utils.metrics import img_tile
+
+    key = jax.random.fold_in(base_key, 2**31 - 5)
+    ema = state.opt.ema
+    n = min(16, cfg.eval_batch_size)
+    if cfg.likelihood == "bernoulli":
+        from iaf_tpu.models import mnist_vae
+        samples = np.asarray(mnist_vae.sample(cfg, ema, key, n)
+                             ).astype(np.uint8)
+        out = mnist_vae.apply_fn(cfg, ema, key, eval_images[:n],
+                                 mode="eval", k=1)
+        recon = np.asarray(jax.nn.sigmoid(out.logits) * 255.0
+                           ).astype(np.uint8)
+    else:
+        samples = np.asarray(cvae.cvae_sample(cfg, ema, key, n)
+                             ).astype(np.uint8)
+        out = cvae.apply_fn(cfg, ema, key, eval_images[:n], mode="eval", k=1)
+        recon = np.asarray(jax.numpy.clip((out.x_out + 0.5) * 256.0,
+                                          0.0, 255.0)).astype(np.uint8)
+    logger.log_image("samples", img_tile(samples), step)
+    pairs = np.stack([eval_images[:n].astype(np.uint8), recon], axis=1)
+    logger.log_image("recons",
+                     img_tile(pairs.reshape((-1,) + recon.shape[1:])), step)
 
 
 def evaluate(cfg: Config, mode: str = "eval_test", params=None,
@@ -220,6 +271,11 @@ def evaluate(cfg: Config, mode: str = "eval_test", params=None,
     ds, _ = load_dataset(cfg.dataset, cfg.data_dir, cfg.image_size,
                          cfg.channels)
     images = ds.train_x if mode == "eval_train" else ds.test_x
+    if cfg.binarize:
+        # same protocol as training: SAMPLED dynamic binarization with a
+        # fixed seed (raw grayscale into bernoulli_logp would effectively
+        # threshold at 0.5 — an easier, non-comparable protocol)
+        images = feed.dynamic_binarize(images, feed.binarize_rng(cfg.seed, -2))
     eval_fn = ev.make_eval_step(cfg, mesh, k=k)
     key = jax.random.PRNGKey(cfg.seed + 999)
 
@@ -333,10 +389,11 @@ def invert_check(cfg: Config, use_ema: bool = True,
 
 
 def _probe_flow_ctx(cfg: Config, params):
-    """Ctx bound to the topmost stochastic layer's param scope."""
-    from iaf_tpu.models.cvae import _layer_names
+    """Ctx bound to the topmost stochastic layer's param slice."""
+    del cfg
+    from iaf_tpu.models.cvae import top_layer_params
     from iaf_tpu.nn.layers import Ctx
-    return Ctx(params=params, path=_layer_names(cfg)[-1])
+    return Ctx(params=top_layer_params(params))
 
 
 def reconstruct(cfg: Config, num: int = 16, use_ema: bool = True,

@@ -57,12 +57,18 @@ class MetricsLogger:
                         self._tb.add_scalar(f"{k}/{i}", e, rec["step"])
 
     def log_image(self, tag: str, image, step: int) -> None:
-        """HWC uint8 image to TB (sample/recon tiles; ``img_tile`` summaries
-        in the reference train loop)."""
+        """HWC uint8 image tile (sample/recon; ``img_tile`` summaries in the
+        reference train loop): saved as logdir/images/<tag>_<step>.npy and
+        mirrored to TB when enabled."""
+        if not self.enabled:
+            return
+        import numpy as np
+        image = np.asarray(image)
+        img_dir = os.path.join(os.path.dirname(self.path), "images")
+        os.makedirs(img_dir, exist_ok=True)
+        np.save(os.path.join(img_dir, f"{tag}_{step:08d}.npy"), image)
         if self._tb is not None:
-            import numpy as np
-            self._tb.add_image(tag, np.asarray(image), step,
-                               dataformats="HWC")
+            self._tb.add_image(tag, image, step, dataformats="HWC")
 
     def close(self) -> None:
         if self.enabled:

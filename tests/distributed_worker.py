@@ -1,0 +1,54 @@
+"""Worker for the two-process ``jax.distributed`` test (run as a script by
+``test_multiprocess.py``, once per process). Exercises the multi-host arms
+that a single-process suite never reaches: ``checkpoint._barrier``, per-host
+``feed`` sharding with a real process group, ``train()``'s
+``make_array_from_process_local_data`` feed, and ``evaluate()``'s
+replicated-batch branch (VERDICT round-1 missing item #3).
+
+Usage: python distributed_worker.py <pid> <nproc> <port> <logdir>
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    pid, nproc, port, logdir = (int(sys.argv[1]), int(sys.argv[2]),
+                                sys.argv[3], sys.argv[4])
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=2")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    jax.distributed.initialize(coordinator_address=f"localhost:{port}",
+                               num_processes=nproc, process_id=pid)
+    assert jax.process_count() == nproc, jax.process_count()
+    assert len(jax.devices()) == 2 * nproc  # 2 local CPU devices per process
+
+    from iaf_tpu import train_lib
+    from iaf_tpu.core.config import Config
+
+    cfg = Config(dataset="synthetic", image_size=8, channels=3, z_size=2,
+                 h_size=8, depth=1, num_blocks=1, depth_ar=1,
+                 ar_hidden_size=8, kl_min=0.0, batch_size=8, total_steps=6,
+                 ckpt_every=3, log_every=3, eval_batch_size=4, eval_k=8,
+                 eval_k_chunk=4, steps_per_dispatch=2, logdir=logdir)
+
+    # train: per-host sharded feed -> global arrays; ckpt barrier at 3 and 6
+    train_lib.train(cfg)
+
+    # resume path: restores on all processes, fast-forwards the feed
+    train_lib.train(cfg, max_steps=8)
+
+    # evaluate: replicated-batch make_array_from_process_local_data branch
+    bpd = train_lib.evaluate(cfg, k=8, max_batches=2)
+    assert bpd == bpd and bpd < 1e4, bpd  # finite sanity
+    print(f"DISTRIBUTED_OK pid={pid} bits_per_dim={bpd:.4f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

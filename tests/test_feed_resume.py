@@ -1,0 +1,104 @@
+"""Input-feed semantics added in round 2 (VERDICT #8, ADVICE items): resume
+fast-forward of the data order, resume-consistent binarization, the
+double-buffered ChunkPrefetcher, and in-train image summaries."""
+
+import itertools
+
+import numpy as np
+
+from iaf_tpu.core.config import Config
+from iaf_tpu.data import feed
+from iaf_tpu import train_lib
+
+
+def _images(n=64, hw=4):
+    return np.arange(n * hw * hw * 1, dtype=np.uint8).reshape(n, hw, hw, 1)
+
+
+def test_batch_iterator_fast_forward():
+    """Iterator started at step k must continue exactly where an
+    uninterrupted iterator would be after k batches — across epochs."""
+    imgs = _images(40)  # 10 batches/epoch at batch 4
+    full = list(itertools.islice(
+        feed.batch_iterator(imgs, 4, seed=3, process_index=0,
+                            process_count=1), 35))
+    for start in (0, 1, 9, 10, 17, 25):
+        resumed = list(itertools.islice(
+            feed.batch_iterator(imgs, 4, seed=3, process_index=0,
+                                process_count=1, start_step=start), 5))
+        for a, b in zip(full[start:start + 5], resumed):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_binarized_iterator_resume_consistent():
+    imgs = (np.random.RandomState(0).uniform(0, 255, (40, 4, 4, 1))
+            .astype(np.uint8))
+    raw = lambda s: feed.batch_iterator(imgs, 4, seed=3, process_index=0,
+                                        process_count=1, start_step=s)
+    full = list(itertools.islice(feed.binarized_iterator(raw(0), 3), 20))
+    resumed = list(itertools.islice(
+        feed.binarized_iterator(raw(12), 3, start_step=12), 5))
+    for a, b in zip(full[12:17], resumed):
+        np.testing.assert_array_equal(a, b)
+    # binarization is actually sampled (not a threshold): middle-gray pixels
+    # must disagree across different steps
+    assert any(not np.array_equal(full[i], full[i + 10]) for i in range(5))
+
+
+def test_chunk_prefetcher_matches_sync_assembly():
+    from iaf_tpu.parallel.mesh import make_mesh
+
+    cfg = Config(dataset="synthetic", batch_size=8)
+    mesh = make_mesh(cfg)
+    imgs = _images(64, hw=4)
+    it = feed.batch_iterator(imgs, 8, seed=1, process_index=0,
+                             process_count=1)
+    first = next(it)
+    pre = feed.ChunkPrefetcher(it, mesh, steps_per_dispatch=3, total_steps=7,
+                               start_step=0, first_local=first)
+    got = list(pre)
+    assert [n for n, _ in got] == [3, 3, 1]  # tail sized to total_steps
+    ref_it = feed.batch_iterator(imgs, 8, seed=1, process_index=0,
+                                 process_count=1)
+    ref = [next(ref_it) for _ in range(7)]
+    np.testing.assert_array_equal(np.asarray(got[0][1])[0], ref[0])
+    np.testing.assert_array_equal(np.asarray(got[1][1])[2], ref[5])
+    assert np.asarray(got[2][1]).shape[0] == 1
+
+
+def test_chunk_prefetcher_propagates_errors():
+    from iaf_tpu.parallel.mesh import make_mesh
+
+    cfg = Config(dataset="synthetic", batch_size=8)
+    mesh = make_mesh(cfg)
+
+    def boom():
+        yield _images(8)
+        raise RuntimeError("data source died")
+
+    pre = feed.ChunkPrefetcher(boom(), mesh, steps_per_dispatch=1,
+                               total_steps=5)
+    next(pre)
+    try:
+        next(pre)
+        raise AssertionError("expected RuntimeError")
+    except RuntimeError as e:
+        assert "data source died" in str(e)
+
+
+def test_in_train_image_summaries(tmp_path):
+    """eval_every cadence writes sample + recon tiles under logdir/images."""
+    import os
+
+    cfg = Config(dataset="synthetic", image_size=8, channels=3, z_size=2,
+                 h_size=8, depth=1, num_blocks=1, depth_ar=1,
+                 ar_hidden_size=8, kl_min=0.0, batch_size=8, total_steps=4,
+                 eval_every=2, eval_batch_size=4, eval_k=8, ckpt_every=100,
+                 log_every=100, logdir=str(tmp_path))
+    train_lib.train(cfg)
+    img_dir = os.path.join(str(tmp_path), "images")
+    files = sorted(os.listdir(img_dir))
+    assert any(f.startswith("samples_") for f in files), files
+    assert any(f.startswith("recons_") for f in files), files
+    tile = np.load(os.path.join(img_dir, files[0]))
+    assert tile.ndim == 3 and tile.shape[-1] == 3

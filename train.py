@@ -40,6 +40,18 @@ def main() -> None:
     # repeating --hpconfig; explicit --hpconfig still overrides.
     cfg = resolve_config(args.logdir, args.hpconfig, mode=args.mode)
 
+    # Data-availability probe (real-data readiness): say up front whether
+    # this run uses real archives or the synthetic fallback.
+    if cfg.dataset in ("cifar10", "mnist"):
+        from iaf_tpu.data.datasets import real_data_available
+        found = real_data_available(cfg.dataset, cfg.data_dir)
+        if found:
+            print(f"[data] real {cfg.dataset} found at {found}")
+        else:
+            print(f"[data] no real {cfg.dataset} on disk (searched ./data, "
+                  "$IAF_DATA_DIR, /root/data, /data, /datasets, ~/data) -> "
+                  "synthetic fallback; quality gates need the real archives")
+
     tracing = False
     if args.profile_dir:
         import jax
