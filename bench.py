@@ -65,7 +65,8 @@ def main() -> None:
                         NamedSharding(mesh, P(None, "data")))
     state, metrics = chunk(state, jax.random.PRNGKey(1), np.int32(0), xs)
     _ = float(np.asarray(metrics["loss"])[-1])  # full execution barrier
-    print(f"[bench] init+compile {time.time() - t0:.1f}s", file=sys.stderr)
+    init_compile_s = time.time() - t0
+    print(f"[bench] init+compile {init_compile_s:.1f}s", file=sys.stderr)
 
     # The tunneled TPU is SHARED: other tenants swing its effective speed
     # >10x (observed 29 and 530 ms/step for the identical program an hour
@@ -119,11 +120,19 @@ def main() -> None:
                        "note": "first honest (value-fetch-timed) run"}, f)
         base = steps_per_sec
 
+    # machine-checkable perf context (VERDICT round-1 item #10): % of chip
+    # peak from the analytic roofline, and the init+compile wall time
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tools.roofline import V5E_PEAK_TFLOPS, train_step_flops
+    tflops = train_step_flops(cfg)["flops_step"] * steps_per_sec / 1e12
     print(json.dumps({
         "metric": "elbo_train_steps_per_sec",
         "value": round(steps_per_sec, 4),
         "unit": "steps/s (paper config, global batch 32, 1 chip)",
         "vs_baseline": round(steps_per_sec / base, 4),
+        "achieved_tflops": round(tflops, 1),
+        "pct_of_v5e_bf16_peak": round(100 * tflops / V5E_PEAK_TFLOPS, 1),
+        "init_compile_s": round(init_compile_s, 1),
     }))
 
 
