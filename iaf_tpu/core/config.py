@@ -126,7 +126,14 @@ class Config:
     remat: bool = False
 
     # --- precision / kernels ---
-    compute_dtype: str = "float32"    # bfloat16 opt-in, gated on bits/dim parity
+    # Conv/matmul inputs are cast to this dtype (params, accumulations, and
+    # all elementwise/likelihood numerics stay f32 — see nn/layers.py).
+    # bfloat16 is the TPU perf default: +7% steps/s in the honest interleaved
+    # A/B (tools/ab_bench.py r2: 33.15 vs 30.94 on the paper config) and the
+    # bf16 trajectory tracks f32 within 2% on the shallow golden
+    # (tests/test_golden.py::test_bf16_compute_tracks_f32). Pin
+    # compute_dtype=float32 to reproduce the reference's exact f32 recipe.
+    compute_dtype: str = "bfloat16"
     # Pallas kernel selection: "auto" = Pallas on TPU, XLA elsewhere;
     # "pallas" forces Pallas (interpret mode off-TPU); "xla" forces the twins.
     kernels: str = "auto"

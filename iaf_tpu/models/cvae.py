@@ -147,12 +147,13 @@ def iaf_flow(cfg: Config, ctx: Ctx, z: jax.Array, context: jax.Array,
     from iaf_tpu.ops import use_pallas
     n_h = [cfg.ar_hidden] * cfg.depth_ar
     if cfg.ar_kind == "conv":
-        m, s = L.ar_multiconv2d(ctx, "ar1", z, context, n_h,
-                                [cfg.z_size, cfg.z_size],
-                                filter_size=(cfg.kernel_size, cfg.kernel_size),
-                                pallas=(not ctx.init) and use_pallas(cfg.kernels, "conv"),
-                                trim_rows=cfg.ar_row_trim,
-                                merge_heads=cfg.merge_ar_heads)
+        with jax.named_scope("ar_stack"):
+            m, s = L.ar_multiconv2d(
+                ctx, "ar1", z, context, n_h, [cfg.z_size, cfg.z_size],
+                filter_size=(cfg.kernel_size, cfg.kernel_size),
+                pallas=(not ctx.init) and use_pallas(cfg.kernels, "ar_stack"),
+                trim_rows=cfg.ar_row_trim,
+                merge_heads=cfg.merge_ar_heads)
     else:  # dense MADE over the channel vector at each position
         m, s = L.ar_multidense(ctx, "ar1", z, context, n_h,
                                [cfg.z_size, cfg.z_size])
@@ -236,7 +237,8 @@ def _run_up(cfg: Config, blocks, keys, h, compute_dtype):
     def body(carry, inp):
         lp, key = inp
         lctx = Ctx(params=lp, rng=key, compute_dtype=compute_dtype)
-        h2, st = iaf_layer_up(cfg, lctx, carry)
+        with jax.named_scope("iaf_up"):
+            h2, st = iaf_layer_up(cfg, lctx, carry)
         return constrain(h2, _ACT_SPEC), st
 
     if cfg.scan_blocks:
@@ -257,7 +259,8 @@ def _run_down(cfg: Config, blocks, keys, stats, h, mode, compute_dtype):
     def body(carry, inp):
         lp, key, st = inp
         lctx = Ctx(params=lp, rng=key, compute_dtype=compute_dtype)
-        h2, kl_obj, kl_cost = iaf_layer_down(cfg, lctx, carry, st, mode)
+        with jax.named_scope("iaf_down"):
+            h2, kl_obj, kl_cost = iaf_layer_down(cfg, lctx, carry, st, mode)
         return constrain(h2, _ACT_SPEC), (kl_obj, kl_cost)
 
     if cfg.scan_blocks:

@@ -282,6 +282,19 @@ def nin(ctx: Ctx, name: str, x: jax.Array, n_out: int,
 # Autoregressive stacks
 # ---------------------------------------------------------------------------
 
+def _folded_conv_wb(ctx: Ctx, name: str, n_in: int, n_out: int,
+                    filter_size, mask: np.ndarray):
+    """The fully-folded dense weights (wn-direction * mask * g) and bias of a
+    conv scope, for kernels that consume weights directly (apply mode only —
+    init calibration always runs the plain conv path)."""
+    sub = ctx.scope(name)
+    V = sub.param("V", (filter_size[0], filter_size[1], n_in, n_out),
+                  normal_init(0.05))
+    g = sub.param("g", (n_out,), ones_init)
+    b = sub.param("b", (n_out,), zeros_init)
+    return _wn_direction(V, (0, 1, 2), jnp.asarray(mask, V.dtype)) * g, b
+
+
 def ar_conv2d(ctx: Ctx, name: str, x: jax.Array, num_filters: int,
               filter_size=(3, 3), stride=(1, 1), zerodiagonal: bool = True,
               init_scale: float = 1.0, pallas: bool = False,
@@ -313,8 +326,20 @@ def ar_multiconv2d(ctx: Ctx, name: str, x: jax.Array, context: jax.Array,
     (weight-norm g/b and the masks are per-output-channel), but a single
     n_out-total conv wastes fewer padded MXU lanes than len(n_out) narrow
     convs (each z_size-wide head pads its output dim to the 128-lane tile).
+
+    ``pallas`` (apply mode, 3x3, uniform hidden widths) runs the WHOLE chain
+    as one fused Pallas kernel (``ops/ar_stack.py``): per-nonzero-tap MXU
+    matmuls (the 4 masked-out taps of the 3x3 AR mask are never computed),
+    intermediates in VMEM, context add + ELU fused in. Same params, same
+    math; heads are computed concatenated and split regardless of
+    ``merge_heads``'s param layout.
     """
     sub = ctx.scope(name)
+    if (pallas and not ctx.init and tuple(filter_size) == (3, 3)
+            and len(n_h) >= 1 and len(set(n_h)) == 1):
+        return _ar_multiconv2d_fused(sub, x, context, n_h, n_out,
+                                     merge_heads,
+                                     compute_dtype=ctx.compute_dtype)
     h = x
     for i, size in enumerate(n_h):
         h = ar_conv2d(sub, f"layer_{i}", h, size, filter_size=filter_size,
@@ -343,6 +368,52 @@ def ar_multiconv2d(ctx: Ctx, name: str, x: jax.Array, context: jax.Array,
                   zerodiagonal=False, pallas=pallas, trim_rows=trim_rows)
         for i, size in enumerate(n_out)
     ]
+
+
+def _ar_multiconv2d_fused(sub: Ctx, x: jax.Array, context: jax.Array,
+                          n_h: Sequence[int], n_out: Sequence[int],
+                          merge_heads: bool, compute_dtype=None):
+    """Fold every conv's weights and hand the whole chain to the fused
+    Pallas kernel. Reads the SAME param scopes as the unfused path, so the
+    kernel choice never changes the checkpoint format."""
+    from iaf_tpu.ops.ar_stack import ar_stack_fused
+    from iaf_tpu.nn.masks import get_conv_ar_mask
+
+    ws, bs, masks = [], [], []
+    prev = x.shape[-1]
+    for i, size in enumerate(n_h):
+        mask = get_conv_ar_mask(3, 3, prev, size, zerodiagonal=(i == 0))
+        W, b = _folded_conv_wb(sub, f"layer_{i}", prev, size, (3, 3), mask)
+        ws.append(W)
+        bs.append(b)
+        masks.append(mask)
+        prev = size
+    if merge_heads:
+        mask = np.concatenate(
+            [get_conv_ar_mask(3, 3, prev, size, False) for size in n_out],
+            axis=-1)
+        W, b = _folded_conv_wb(sub, "layer_out", prev, sum(n_out), (3, 3),
+                               mask)
+    else:
+        parts = [(_folded_conv_wb(sub, f"layer_out_{i}", prev, size, (3, 3),
+                                  get_conv_ar_mask(3, 3, prev, size, False)),
+                  get_conv_ar_mask(3, 3, prev, size, False))
+                 for i, size in enumerate(n_out)]
+        W = jnp.concatenate([p[0][0] for p in parts], axis=-1)
+        b = jnp.concatenate([p[0][1] for p in parts], axis=-1)
+        mask = np.concatenate([p[1] for p in parts], axis=-1)
+    ws.append(W)
+    bs.append(b)
+    masks.append(mask)
+
+    cd = ("bfloat16" if compute_dtype is not None
+          and jnp.dtype(compute_dtype) == jnp.dtype(jnp.bfloat16) else None)
+    out = ar_stack_fused(x, context, ws, bs, masks, compute_dtype=cd)
+    outs, start = [], 0
+    for size in n_out:
+        outs.append(out[..., start:start + size])
+        start += size
+    return outs
 
 
 def ar_multidense(ctx: Ctx, name: str, x: jax.Array, context: jax.Array | None,

@@ -3,6 +3,10 @@ and correctness oracle (SURVEY.md §7.4)."""
 
 import jax
 
+from iaf_tpu.ops.ar_stack import (  # noqa: F401
+    ar_stack_fused,
+    ar_stack_xla,
+)
 from iaf_tpu.ops.fused import (  # noqa: F401
     disc_logistic_logp,
     disc_logistic_xla,
@@ -15,21 +19,35 @@ from iaf_tpu.ops.masked_conv import (  # noqa: F401
     xla_conv2d_same,
 )
 
+# Op classes that have WON an honest interleaved A/B against their XLA twin
+# on TPU (tools/ab_bench.py; value-fetch timed). Only these are admitted by
+# kernels="auto". Currently empty: the naive per-image im2col conv lost
+# (28.3 vs 35.0 steps/s, r1) and the fused whole-chain AR-stack kernel with
+# static zero-tap skipping ALSO lost (24.52 vs 33.24 steps/s, r2, 6-round
+# interleaved) — XLA's conv emitter flattens the tap x cin contraction into
+# near-fully-utilized MXU tiles, which beats per-tap matmuls even though the
+# per-tap form skips 4/9 taps outright (see PARITY.md "Pallas verdict").
+_AUTO_WINS: frozenset[str] = frozenset()
+
 
 def use_pallas(kernels: str, op: str = "elementwise") -> bool:
-    """Resolve the config ``kernels`` switch per op class.
+    """Resolve the config ``kernels`` switch per op class
+    (op in {"conv", "ar_stack", "elementwise"}).
 
     "pallas" forces everything; "xla" disables everything. "auto" admits an
     op class only once it has measured FASTER than its XLA twin on TPU in an
     HONEST A/B (tools/ab_bench.py: value-fetch timed, contention-interleaved
     — earlier dispatch-latency-bound timings were invalid). As of the last
-    sweep (paper config, v5e), auto selects XLA everywhere: XLA 35.0 vs
-    Pallas-conv 28.3 steps/s — XLA's tuned convs beat the im2col kernel, and
-    the fused elementwise kernels don't pay for their call overhead on this
-    conv-dominated model. The Pallas kernels
-    stay available and tested and re-enter auto only behind a winning A/B.
+    sweep (paper config, v5e), auto admits only ``_AUTO_WINS``: XLA's tuned
+    convs beat both Pallas challengers (naive im2col r1, fused zero-tap
+    AR-stack r2), and the fused elementwise kernels don't pay for their
+    call overhead on this conv-dominated model. The Pallas kernels stay
+    available and tested and enter auto only behind a winning A/B.
     """
-    del op
     if kernels == "pallas":
         return True
+    if kernels == "pallas_ar":  # isolate the fused AR-stack kernel in A/Bs
+        return op == "ar_stack"
+    if kernels == "auto":
+        return op in _AUTO_WINS and jax.default_backend() == "tpu"
     return False

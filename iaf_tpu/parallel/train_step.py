@@ -91,12 +91,15 @@ def _grads_and_metrics(cfg: Config, params, rng, batch):
 
 
 def train_step(cfg: Config, state: TrainState, rng, batch):
-    grads, metrics = _grads_and_metrics(cfg, state.params, rng, batch)
-    params, opt = optim.apply_updates(
-        state.params, grads, state.opt,
-        lr=cfg.learning_rate, beta1=cfg.beta1, beta2=cfg.beta2,
-        eps=cfg.adamax_eps, polyak_decay=cfg.polyak_decay,
-        bias_correction=cfg.bias_correction, grad_clip=cfg.grad_clip)
+    # named scopes structure xprof traces (fwd+bwd vs optimizer/EMA)
+    with jax.named_scope("grads"):
+        grads, metrics = _grads_and_metrics(cfg, state.params, rng, batch)
+    with jax.named_scope("adamax_polyak"):
+        params, opt = optim.apply_updates(
+            state.params, grads, state.opt,
+            lr=cfg.learning_rate, beta1=cfg.beta1, beta2=cfg.beta2,
+            eps=cfg.adamax_eps, polyak_decay=cfg.polyak_decay,
+            bias_correction=cfg.bias_correction, grad_clip=cfg.grad_clip)
     return TrainState(params, opt), metrics
 
 

@@ -8,6 +8,8 @@ import pytest
 
 from iaf_tpu.nn.masks import get_conv_ar_mask
 from iaf_tpu.ops import (
+    ar_stack_fused,
+    ar_stack_xla,
     disc_logistic_logp,
     disc_logistic_xla,
     fold_mask,
@@ -17,6 +19,7 @@ from iaf_tpu.ops import (
     use_pallas,
     xla_conv2d_same,
 )
+from iaf_tpu.ops.ar_stack import nonzero_taps
 
 
 def test_use_pallas_switch():
@@ -125,14 +128,98 @@ def test_disc_logistic_matches_xla_and_grads():
                                    rtol=1e-4, atol=1e-5)
 
 
+def _ar_chain_wb(key, zs, ah, n_out, depth_ar):
+    """Random pre-masked weights/biases/masks for a fused AR chain."""
+    ks = jax.random.split(key, 2 * (depth_ar + 1))
+    ws, bs, masks = [], [], []
+    prev = zs
+    for i in range(depth_ar):
+        mask = get_conv_ar_mask(3, 3, prev, ah, zerodiagonal=(i == 0))
+        ws.append(jax.random.normal(ks[2 * i], (3, 3, prev, ah)) * 0.2 * mask)
+        bs.append(0.1 * jax.random.normal(ks[2 * i + 1], (ah,)))
+        masks.append(mask)
+        prev = ah
+    mask = np.concatenate(
+        [get_conv_ar_mask(3, 3, prev, n, False) for n in n_out], axis=-1)
+    ws.append(jax.random.normal(ks[-2], (3, 3, prev, sum(n_out))) * 0.2 * mask)
+    bs.append(0.1 * jax.random.normal(ks[-1], (sum(n_out),)))
+    masks.append(mask)
+    return ws, bs, masks
+
+
+def test_conv_ar_mask_kills_four_of_nine_taps():
+    """The structural fact the fused kernel exploits: a 3x3 conv AR mask has
+    exactly 5 spatially-nonzero taps (row 0 + left-of-center + center)."""
+    mask = get_conv_ar_mask(3, 3, 8, 8, True)
+    assert nonzero_taps(mask) == ((0, 0), (0, 1), (0, 2), (1, 0), (1, 1))
+
+
+@pytest.mark.parametrize("depth_ar,bb", [(1, 2), (2, 2), (2, 3), (3, 1)])
+def test_ar_stack_fused_matches_xla(depth_ar, bb):
+    zs, ah = 4, 8
+    z = jax.random.normal(jax.random.PRNGKey(0), (4, 6, 6, zs))
+    context = jax.random.normal(jax.random.PRNGKey(1), (4, 6, 6, ah))
+    ws, bs, masks = _ar_chain_wb(jax.random.PRNGKey(2), zs, ah, [zs, zs],
+                                 depth_ar)
+    wb = [t for pair in zip(ws, bs) for t in pair]
+    got = ar_stack_fused(z, context, ws, bs, masks, batch_block=bb)
+    want = ar_stack_xla(z, context, *wb)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_ar_stack_fused_grads_match_xla():
+    zs, ah = 2, 4
+    z = jax.random.normal(jax.random.PRNGKey(3), (2, 5, 5, zs))
+    context = jax.random.normal(jax.random.PRNGKey(4), (2, 5, 5, ah))
+    ws, bs, masks = _ar_chain_wb(jax.random.PRNGKey(5), zs, ah, [zs, zs], 2)
+    wb = [t for pair in zip(ws, bs) for t in pair]
+
+    def loss_pl(z, context, *wb_):
+        ws_, bs_ = list(wb_[0::2]), list(wb_[1::2])
+        return jnp.sum(jnp.tanh(
+            ar_stack_fused(z, context, ws_, bs_, masks, batch_block=2)))
+
+    def loss_xla(z, context, *wb_):
+        return jnp.sum(jnp.tanh(ar_stack_xla(z, context, *wb_)))
+
+    g1 = jax.grad(loss_pl, argnums=tuple(range(2 + len(wb))))(z, context, *wb)
+    g2 = jax.grad(loss_xla, argnums=tuple(range(2 + len(wb))))(z, context, *wb)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_ar_stack_fused_is_autoregressive():
+    """End-to-end jacobian of the fused chain: output (m-head) element i may
+    not depend on z elements at raster-order positions >= i (strict: the
+    first hidden layer is zerodiagonal)."""
+    zs, ah = 2, 4
+    H = W = 3
+    context = jnp.zeros((1, H, W, ah))
+    ws, bs, masks = _ar_chain_wb(jax.random.PRNGKey(6), zs, ah, [zs], 1)
+
+    def f(zflat):
+        z = zflat.reshape(1, H, W, zs)
+        out = ar_stack_fused(z, context, ws, bs, masks, batch_block=1)
+        return out.reshape(-1)
+
+    z0 = jax.random.normal(jax.random.PRNGKey(7), (H * W * zs,))
+    J = jax.jacrev(f)(z0)  # [out_i, in_j]; AR order = flattened raster
+    n = H * W * zs
+    for i in range(n):
+        assert np.allclose(np.asarray(J[i, i:]), 0.0, atol=1e-6), i
+
+
 def test_model_forward_same_with_pallas_kernels():
     """Full model forward: kernels=pallas (interpret) ≡ kernels=xla."""
     from iaf_tpu.core.config import Config
     from iaf_tpu.models import cvae
 
+    # f32 pinned: pallas-vs-xla is an exact-math claim at tight tolerance
     base = dict(dataset="synthetic", image_size=8, channels=3, z_size=2,
                 h_size=8, depth=1, num_blocks=1, depth_ar=1, ar_hidden_size=8,
-                kl_min=0.0, seed=0)
+                kl_min=0.0, seed=0, compute_dtype="float32")
     x = np.random.RandomState(0).randint(0, 256, (2, 8, 8, 3)).astype(np.uint8)
     cfg_x = Config(**base, kernels="xla")
     cfg_p = Config(**base, kernels="pallas")

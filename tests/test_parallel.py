@@ -16,9 +16,15 @@ from iaf_tpu.parallel.mesh import make_mesh
 
 
 def tiny_cfg(**kw):
+    # compute_dtype pinned f32: these tests assert STRUCTURAL equivalences
+    # (sharded == single-device, chunked == unchunked, streamed == one-shot)
+    # at tight tolerance; the bf16 perf default amplifies XLA op-ordering
+    # noise past those tolerances without bearing on the structural claim
+    # (bf16 quality is gated by test_golden.py::test_bf16_compute_tracks_f32)
     base = dict(dataset="synthetic", image_size=8, channels=3, z_size=2,
                 h_size=8, depth=1, num_blocks=1, depth_ar=1, ar_hidden_size=8,
-                kl_min=0.0, batch_size=8, learning_rate=0.01, seed=0)
+                kl_min=0.0, batch_size=8, learning_rate=0.01, seed=0,
+                compute_dtype="float32")
     base.update(kw)
     return Config(**base)
 

@@ -16,9 +16,11 @@ from iaf_tpu.models import cvae
 
 
 def cfgs(**kw):
+    # f32 pinned: scan-vs-unroll parity is a structural claim; bf16 rounding
+    # under different XLA op orderings exceeds the tight tolerances here
     base = dict(dataset="synthetic", image_size=8, channels=3, z_size=2,
                 h_size=8, depth=2, num_blocks=2, depth_ar=1, ar_hidden_size=8,
-                kl_min=0.1, batch_size=4, seed=0)
+                kl_min=0.1, batch_size=4, seed=0, compute_dtype="float32")
     base.update(kw)
     scan = Config(**base, scan_blocks=True)
     unroll = Config(**base, scan_blocks=False)

@@ -31,9 +31,17 @@ VARIANTS = {
     "merge_heads": ",merge_ar_heads=true",
     "merge_heads_bf16": ",merge_ar_heads=true,compute_dtype=bfloat16",
     "pallas": ",kernels=pallas",
+    "pallas_ar": ",kernels=pallas_ar",  # fused AR-stack kernel only
     # batch 64 at fixed examples/s: reported steps/s must be doubled to
     # compare against batch-32 variants (the harness reports raw steps/s)
     "batch64": ",batch_size=64",
+    # NOT parity configs — roofline probes for the h=160 tile-fragmentation
+    # theory (tools/roofline.py tile_ceiling): if conv time follows PADDED
+    # channel tiles, h192 costs the same as h160 and h128 is ~2.2x faster;
+    # if it follows logical FLOPs, h192 is ~1.4x slower and h128 ~1.5x
+    # faster. The answer decides whether h=160 has recoverable headroom.
+    "h128": ",h_size=128",
+    "h192": ",h_size=192",
 }
 
 BASE = ("depth=1,num_blocks=20,kl_min=0.25,learning_rate=0.002,batch_size=32,"
