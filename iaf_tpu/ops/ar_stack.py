@@ -189,6 +189,7 @@ def _pallas_stack(spec, z, context, *wb):
     pad_w = max(widths[:-1]) if n > 1 else 1
     return pl.pallas_call(
         kern,
+        name="ar_stack_fused",  # xprof/named-scope attribution (SURVEY §5.1)
         grid=(b // bb,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((bb, hh, ww, cout), lambda i: (i, 0, 0, 0),

@@ -51,6 +51,7 @@ def _iaf_pallas(z, m, s):
                                memory_space=pltpu.VMEM)
     z_new, sum_s = pl.pallas_call(
         _iaf_kernel,
+        name="iaf_update_fused",  # xprof attribution (SURVEY §5.1)
         grid=(b,),
         in_specs=[blk(), blk(), blk()],
         out_specs=(blk(),
@@ -120,6 +121,7 @@ def _dl_pallas(mean, logscale, sample, binsize):
                          jnp.asarray(binsize, mean.dtype)]).reshape(1, 2)
     out = pl.pallas_call(
         _dl_kernel,
+        name="disc_logistic_fused",  # xprof attribution (SURVEY §5.1)
         grid=(b,),
         in_specs=[pl.BlockSpec((1, 2), lambda i: (0, 0),
                                memory_space=pltpu.SMEM),

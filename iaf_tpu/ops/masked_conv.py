@@ -67,6 +67,7 @@ def _pallas_conv(x: jax.Array, w: jax.Array) -> jax.Array:
     flops = 2 * b * h * wd * kh * kw * cin * cout
     return pl.pallas_call(
         kern,
+        name="masked_conv_im2col",  # xprof attribution (SURVEY §5.1)
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, h + kh - 1, wd + kw - 1, cin),
