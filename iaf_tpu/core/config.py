@@ -134,8 +134,10 @@ class Config:
     # (tests/test_golden.py::test_bf16_compute_tracks_f32). Pin
     # compute_dtype=float32 to reproduce the reference's exact f32 recipe.
     compute_dtype: str = "bfloat16"
-    # Pallas kernel selection: "auto" = Pallas on TPU, XLA elsewhere;
-    # "pallas" forces Pallas (interpret mode off-TPU); "xla" forces the twins.
+    # Pallas kernel selection: "auto" admits only op classes that have WON
+    # a measured A/B vs their XLA twin on TPU (ops/__init__.py _AUTO_WINS);
+    # "pallas" forces everything (interpret mode off-TPU); "xla" forces the
+    # twins; "pallas_ar"/"pallas_opt" isolate one kernel class for A/Bs.
     kernels: str = "auto"
     # Slice zero kernel rows off masked AR convs (asymmetric padding).
     # Exact-equivalent, 1/3 fewer AR-conv FLOPs; honest interleaved A/B
@@ -193,6 +195,20 @@ class Config:
                 raise KeyError(f"unknown hyperparameter {key!r}")
             updates[key] = _parse_value(raw, getattr(self, key))
         return dataclasses.replace(self, **updates)
+
+    def __post_init__(self):
+        # The conv AR path adds the h_size-wide context (up_context +
+        # down_context, tf_train.py IAFLayer) to the FIRST hidden masked
+        # conv's output, so conv AR hidden widths must equal h_size
+        # (upstream hardcodes n_h=[h_size]*2). The dense MNIST path
+        # projects context per layer and takes any width.
+        if (self.ar_kind == "conv" and self.depth_ar > 0
+                and self.ar_hidden_size not in (0, self.h_size)):
+            raise ValueError(
+                f"ar_hidden_size={self.ar_hidden_size} != h_size="
+                f"{self.h_size}: conv AR hidden width is fixed to h_size "
+                "by the context add (set ar_hidden_size=0, or use "
+                "ar_kind=dense)")
 
     # Convenience accessors -------------------------------------------------
     @property

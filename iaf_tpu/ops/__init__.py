@@ -21,13 +21,20 @@ from iaf_tpu.ops.masked_conv import (  # noqa: F401
 
 # Op classes that have WON an honest interleaved A/B against their XLA twin
 # on TPU (tools/ab_bench.py; value-fetch timed). Only these are admitted by
-# kernels="auto". Currently empty: the naive per-image im2col conv lost
-# (28.3 vs 35.0 steps/s, r1) and the fused whole-chain AR-stack kernel with
-# static zero-tap skipping ALSO lost (24.52 vs 33.24 steps/s, r2, 6-round
-# interleaved) — XLA's conv emitter flattens the tap x cin contraction into
-# near-fully-utilized MXU tiles, which beats per-tap matmuls even though the
-# per-tap form skips 4/9 taps outright (see PARITY.md "Pallas verdict").
-_AUTO_WINS: frozenset[str] = frozenset()
+# kernels="auto".
+#
+# - "optimizer" (ops/fused_adamax.py, single-HBM-pass Adamax+Polyak with
+#   input_output_aliases): WON 33.51 vs 33.16 steps/s, ahead in 6/6
+#   interleaved rounds (r2); trajectory bit-exact vs the XLA update on TPU.
+#   The aliasing is load-bearing: without it XLA copies all four state
+#   buffers into the custom call and the same kernel LOSES 27.3 vs 33.1.
+# - conv kernels stay OUT: the naive per-image im2col conv lost (28.3 vs
+#   35.0 steps/s, r1) and the fused whole-chain AR-stack kernel with static
+#   zero-tap skipping ALSO lost (24.52 vs 33.24, r2) — XLA's conv emitter
+#   flattens the tap x cin contraction into near-fully-utilized MXU tiles,
+#   which beats per-tap matmuls even though the per-tap form skips 4/9 taps
+#   outright (see PARITY.md "Pallas verdict").
+_AUTO_WINS: frozenset[str] = frozenset({"optimizer"})
 
 
 def use_pallas(kernels: str, op: str = "elementwise") -> bool:
@@ -38,16 +45,19 @@ def use_pallas(kernels: str, op: str = "elementwise") -> bool:
     op class only once it has measured FASTER than its XLA twin on TPU in an
     HONEST A/B (tools/ab_bench.py: value-fetch timed, contention-interleaved
     — earlier dispatch-latency-bound timings were invalid). As of the last
-    sweep (paper config, v5e), auto admits only ``_AUTO_WINS``: XLA's tuned
-    convs beat both Pallas challengers (naive im2col r1, fused zero-tap
-    AR-stack r2), and the fused elementwise kernels don't pay for their
-    call overhead on this conv-dominated model. The Pallas kernels stay
-    available and tested and enter auto only behind a winning A/B.
+    sweep (paper config, v5e), auto admits the fused optimizer kernel
+    (won 33.51 vs 33.16, bit-exact) and rejects the conv kernels: XLA's
+    tuned convs beat both Pallas challengers (naive im2col r1, fused
+    zero-tap AR-stack r2), and the fused elementwise kernels don't pay for
+    their call overhead on this conv-dominated model. Kernels enter or
+    leave auto only behind a measured A/B.
     """
     if kernels == "pallas":
         return True
     if kernels == "pallas_ar":  # isolate the fused AR-stack kernel in A/Bs
         return op == "ar_stack"
+    if kernels == "pallas_opt":  # isolate the fused optimizer kernel
+        return op == "optimizer"
     if kernels == "auto":
         return op in _AUTO_WINS and jax.default_backend() == "tpu"
     return False

@@ -19,6 +19,12 @@ import jax
 import jax.numpy as jnp
 
 
+# Leaves below this element count stay on the XLA update even when
+# ``fused=True``: their HBM traffic is negligible and narrow lane dims
+# waste VMEM in Pallas (tests lower it to force the kernel on tiny trees).
+FUSED_MIN_SIZE = 1 << 18
+
+
 class AdamaxState(NamedTuple):
     step: jax.Array   # int32 scalar
     m: Any            # first-moment pytree
@@ -42,9 +48,14 @@ def apply_updates(
     params, grads, state: AdamaxState, *,
     lr: float, beta1: float = 0.9, beta2: float = 0.999, eps: float = 1e-8,
     polyak_decay: float = 0.999, bias_correction: bool = False,
-    grad_clip: float = 0.0,
+    grad_clip: float = 0.0, fused: bool = False,
 ) -> tuple[Any, AdamaxState]:
-    """One fused Adamax + Polyak step. Returns (new_params, new_state)."""
+    """One fused Adamax + Polyak step. Returns (new_params, new_state).
+
+    ``fused=True`` routes each leaf through the single-HBM-pass Pallas
+    kernel (``ops/fused_adamax.py``) instead of the XLA elementwise update
+    — identical math, one read+write of every buffer.
+    """
     step = state.step + 1
     if grad_clip > 0.0:
         gnorm = jnp.sqrt(sum(jnp.sum(jnp.square(g))
@@ -72,13 +83,20 @@ def apply_updates(
 
     new_p, new_m, new_u, new_e = [], [], [], []
     for p, g, m, u, e in zip(flat_p, flat_g, flat_m, flat_u, flat_e):
-        p_t, m_t, u_t = upd(p, g, m, u)
+        if fused and p.size >= FUSED_MIN_SIZE:
+            from iaf_tpu.ops.fused_adamax import adamax_polyak_leaf
+            p_t, m_t, u_t, e_t = adamax_polyak_leaf(
+                p, g, m, u, e, lr_t, beta1=beta1, beta2=beta2, eps=eps,
+                polyak_decay=polyak_decay)
+        else:
+            p_t, m_t, u_t = upd(p, g, m, u)
+            # Polyak shadow tracks the *post-update* params, like
+            # tf.train.ExponentialMovingAverage applied after apply_gradients.
+            e_t = polyak_decay * e + (1.0 - polyak_decay) * p_t
         new_p.append(p_t)
         new_m.append(m_t)
         new_u.append(u_t)
-        # Polyak shadow tracks the *post-update* params, like
-        # tf.train.ExponentialMovingAverage applied after apply_gradients.
-        new_e.append(polyak_decay * e + (1.0 - polyak_decay) * p_t)
+        new_e.append(e_t)
 
     unflatten = treedef.unflatten
     return unflatten(new_p), AdamaxState(

@@ -95,11 +95,13 @@ def train_step(cfg: Config, state: TrainState, rng, batch):
     with jax.named_scope("grads"):
         grads, metrics = _grads_and_metrics(cfg, state.params, rng, batch)
     with jax.named_scope("adamax_polyak"):
+        from iaf_tpu.ops import use_pallas
         params, opt = optim.apply_updates(
             state.params, grads, state.opt,
             lr=cfg.learning_rate, beta1=cfg.beta1, beta2=cfg.beta2,
             eps=cfg.adamax_eps, polyak_decay=cfg.polyak_decay,
-            bias_correction=cfg.bias_correction, grad_clip=cfg.grad_clip)
+            bias_correction=cfg.bias_correction, grad_clip=cfg.grad_clip,
+            fused=use_pallas(cfg.kernels, "optimizer"))
     return TrainState(params, opt), metrics
 
 

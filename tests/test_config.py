@@ -52,7 +52,12 @@ def test_empty_spec_identity():
 
 def test_ar_hidden_fallback():
     assert Config(h_size=160, ar_hidden_size=0).ar_hidden == 160
-    assert Config(h_size=160, ar_hidden_size=320).ar_hidden == 320
+    # free ar_hidden width is a dense-path capability; the conv path pins
+    # it to h_size (context add) and rejects mismatches at construction
+    assert Config(h_size=160, ar_hidden_size=320,
+                  ar_kind="dense").ar_hidden == 320
+    with pytest.raises(ValueError, match="ar_hidden_size"):
+        Config(h_size=160, ar_hidden_size=320)
 
 
 def test_hparams_save_load_roundtrip(tmp_path):

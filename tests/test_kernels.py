@@ -26,9 +26,17 @@ def test_use_pallas_switch():
     assert use_pallas("pallas") is True
     assert use_pallas("xla") is False
     # "auto" admits an op class only behind a WINNING measured A/B vs the
-    # XLA twin (ops/__init__.py policy); as of the last sweep XLA wins
-    # everywhere, so auto is False on every backend (including TPU).
-    assert use_pallas("auto") is False
+    # XLA twin (ops/__init__.py _AUTO_WINS) and only on a real TPU backend;
+    # the conv/elementwise classes lost their A/Bs, the fused optimizer won.
+    on_tpu = jax.default_backend() == "tpu"
+    assert use_pallas("auto", "conv") is False
+    assert use_pallas("auto", "ar_stack") is False
+    assert use_pallas("auto", "optimizer") is (True if on_tpu else False)
+    # isolation switches for A/B harnesses
+    assert use_pallas("pallas_ar", "ar_stack") is True
+    assert use_pallas("pallas_ar", "conv") is False
+    assert use_pallas("pallas_opt", "optimizer") is True
+    assert use_pallas("pallas_opt", "conv") is False
 
 
 @pytest.mark.parametrize("shape,cout,k", [((2, 8, 8, 4), 8, 3),
@@ -209,6 +217,54 @@ def test_ar_stack_fused_is_autoregressive():
     n = H * W * zs
     for i in range(n):
         assert np.allclose(np.asarray(J[i, i:]), 0.0, atol=1e-6), i
+
+
+@pytest.mark.parametrize("shape", [(4, 2, 2, 3, 40), (20, 384), (7,), ()])
+def test_fused_adamax_leaf_matches_xla(shape):
+    """Single-pass fused Adamax+Polyak kernel == the plain XLA update
+    (optim.apply_updates math) on representative leaf shapes: stacked 5D
+    conv weights, 2D bias stacks, 1D vectors, and the dec_log_stdv scalar."""
+    from iaf_tpu.ops.fused_adamax import adamax_polyak_leaf
+
+    ks = jax.random.split(jax.random.PRNGKey(0), 5)
+    p, g, m, u, e = (jax.random.normal(k, shape) for k in ks)
+    u = jnp.abs(u)
+    b1, b2, eps, d, lr = 0.9, 0.999, 1e-8, 0.999, 0.002
+
+    got = adamax_polyak_leaf(p, g, m, u, e, lr, beta1=b1, beta2=b2,
+                             eps=eps, polyak_decay=d)
+    m_t = b1 * m + (1 - b1) * g
+    u_t = jnp.maximum(b2 * u, jnp.abs(g))
+    p_t = p - lr * m_t / (u_t + eps)
+    e_t = d * e + (1 - d) * p_t
+    for a, b in zip(got, (p_t, m_t, u_t, e_t)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_fused_adamax_full_step_matches():
+    """optim.apply_updates(fused=True) == (fused=False) on a real param
+    tree, including the traced bias-corrected lr."""
+    from iaf_tpu import optim
+
+    ks = jax.random.split(jax.random.PRNGKey(1), 4)
+    # "w" is above the fused-path size threshold (2^18 elements) and runs
+    # the Pallas kernel; "b"/"s" exercise the small-leaf XLA fallback.
+    params = {"w": jax.random.normal(ks[0], (8, 3, 3, 64, 64)),
+              "b": jax.random.normal(ks[1], (8, 64)),
+              "s": jax.random.normal(ks[2], ())}
+    grads = jax.tree.map(lambda a: jax.random.normal(ks[3], a.shape), params)
+    kw = dict(lr=0.002, beta1=0.9, beta2=0.999, eps=1e-8,
+              polyak_decay=0.999, bias_correction=True)
+    st1 = optim.init_state(params)
+    st2 = optim.init_state(params)
+    for _ in range(3):
+        p1, st1 = optim.apply_updates(params, grads, st1, fused=False, **kw)
+        p2, st2 = optim.apply_updates(params, grads, st2, fused=True, **kw)
+    for a, b in zip(jax.tree.leaves((p1, st1.m, st1.u, st1.ema)),
+                    jax.tree.leaves((p2, st2.m, st2.u, st2.ema))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
 
 
 def test_model_forward_same_with_pallas_kernels():

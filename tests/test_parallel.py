@@ -248,3 +248,31 @@ def test_place_state_prevents_second_call_recompile():
     for i in range(3):
         state, _ = chunk(state, jax.random.PRNGKey(1), np.int32(2 * i), xs)
     assert chunk._cache_size() == 1
+
+
+def test_fused_optimizer_kernel_under_sharded_jit(monkeypatch):
+    """The fused Adamax+Polyak Pallas kernel (kernels=pallas_opt) must
+    compile and run inside the sharded train step on a multi-device mesh
+    (interpret mode here; the TPU A/B covers Mosaic) and match the XLA
+    optimizer path exactly — the kernel only reschedules memory traffic."""
+    import iaf_tpu.optim as _optim
+    monkeypatch.setattr(_optim, "FUSED_MIN_SIZE", 0)  # tiny tree: force it
+    cfg_x = tiny_cfg(batch_size=8)
+    cfg_p = tiny_cfg(batch_size=8, kernels="pallas_opt")
+    x = fake_batch(cfg_x, 8)
+    losses = {}
+    for name, cfg in (("xla", cfg_x), ("pallas", cfg_p)):
+        mesh = make_mesh(cfg)
+        params = cvae.init_params(cfg, jax.random.PRNGKey(0), x)
+        import iaf_tpu.optim as optim
+        state = ts.TrainState(params, optim.init_state(params))
+        state = ts.place_state(state, mesh)
+        step_fn = ts.make_train_step(cfg, mesh)
+        xs = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P("data")))
+        ls = []
+        for i in range(3):
+            state, m = step_fn(state, jax.random.PRNGKey(7 + i), xs)
+            ls.append(float(np.asarray(m["loss"])))
+        losses[name] = ls
+    np.testing.assert_allclose(losses["xla"], losses["pallas"],
+                               rtol=1e-6, atol=1e-6)

@@ -32,6 +32,7 @@ VARIANTS = {
     "merge_heads_bf16": ",merge_ar_heads=true,compute_dtype=bfloat16",
     "pallas": ",kernels=pallas",
     "pallas_ar": ",kernels=pallas_ar",  # fused AR-stack kernel only
+    "pallas_opt": ",kernels=pallas_opt",  # fused Adamax+Polyak kernel only
     # batch 64 at fixed examples/s: reported steps/s must be doubled to
     # compare against batch-32 variants (the harness reports raw steps/s)
     "batch64": ",batch_size=64",
