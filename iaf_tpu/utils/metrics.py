@@ -58,8 +58,8 @@ class MetricsLogger:
 
     def log_image(self, tag: str, image, step: int) -> None:
         """HWC uint8 image tile (sample/recon; ``img_tile`` summaries in the
-        reference train loop): saved as logdir/images/<tag>_<step>.npy and
-        mirrored to TB when enabled."""
+        reference train loop): saved as logdir/images/<tag>_<step>.png (plus
+        the raw .npy) and mirrored to TB when enabled."""
         if not self.enabled:
             return
         import numpy as np
@@ -67,6 +67,14 @@ class MetricsLogger:
         img_dir = os.path.join(os.path.dirname(self.path), "images")
         os.makedirs(img_dir, exist_ok=True)
         np.save(os.path.join(img_dir, f"{tag}_{step:08d}.npy"), image)
+        try:  # directly viewable tile (the reference's TB image summaries)
+            from PIL import Image
+            arr = image[..., 0] if image.ndim == 3 and image.shape[-1] == 1 \
+                else image
+            Image.fromarray(arr).save(
+                os.path.join(img_dir, f"{tag}_{step:08d}.png"))
+        except Exception:  # PIL absent or exotic shape: npy is authoritative
+            pass
         if self._tb is not None:
             self._tb.add_image(tag, image, step, dataformats="HWC")
 

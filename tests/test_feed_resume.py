@@ -100,5 +100,8 @@ def test_in_train_image_summaries(tmp_path):
     files = sorted(os.listdir(img_dir))
     assert any(f.startswith("samples_") for f in files), files
     assert any(f.startswith("recons_") for f in files), files
-    tile = np.load(os.path.join(img_dir, files[0]))
+    # tiles land both as raw arrays and directly-viewable PNGs
+    assert any(f.endswith(".png") for f in files), files
+    npys = [f for f in files if f.endswith(".npy")]
+    tile = np.load(os.path.join(img_dir, npys[0]))
     assert tile.ndim == 3 and tile.shape[-1] == 3

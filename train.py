@@ -1,91 +1,13 @@
 #!/usr/bin/env python
-"""CLI driver, reference-compatible (``tf_train.py`` flags, SURVEY.md §2.1):
+"""Reference-compatible CLI entry (``tf_train.py`` flags, SURVEY.md §2.1).
 
-    python train.py --logdir /tmp/iaf --hpconfig depth=1,num_blocks=20,\
-kl_min=0.25,learning_rate=0.002,batch_size=32 --mode train
-    python train.py --logdir /tmp/iaf --mode eval_test
-    python train.py --logdir /tmp/iaf --mode sample --num_samples 16
+Thin shim over :mod:`iaf_tpu.cli` so both invocations work:
 
-``--num_gpus`` is accepted for command-line parity with the reference but
-ignored: device count comes from the mesh (all visible chips by default).
+    python train.py --logdir D --hpconfig k=v,... --mode train
+    iaf-train      --logdir D --hpconfig k=v,... --mode train   (pip install)
 """
 
-from __future__ import annotations
-
-import argparse
-
-from iaf_tpu.core.config import resolve_config
-from iaf_tpu import train_lib
-
-
-def main() -> None:
-    p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--logdir", type=str, default="/tmp/iaf_tpu")
-    p.add_argument("--hpconfig", type=str, default="",
-                   help="comma-separated k=v hyperparameter overrides")
-    p.add_argument("--mode", type=str, default="train",
-                   choices=["train", "eval_train", "eval_test", "eval_loop",
-                            "sample", "recon", "invert_check"])
-    p.add_argument("--num_gpus", type=int, default=None,
-                   help="reference-CLI parity; ignored (mesh uses all chips)")
-    p.add_argument("--num_samples", type=int, default=16)
-    # --temperature accepts a single value or a comma list for a sweep
-    p.add_argument("--temperature", type=str, default="1.0")
-    p.add_argument("--profile_dir", type=str, default="",
-                   help="enable jax.profiler traces into this dir")
-    args = p.parse_args()
-
-    # Saved hps.json in the logdir (written by train) is the base config, so
-    # eval/sample/invert runs reproduce the trained architecture without
-    # repeating --hpconfig; explicit --hpconfig still overrides.
-    cfg = resolve_config(args.logdir, args.hpconfig, mode=args.mode)
-
-    # Data-availability probe (real-data readiness): say up front whether
-    # this run uses real archives or the synthetic fallback.
-    if cfg.dataset in ("cifar10", "mnist"):
-        from iaf_tpu.data.datasets import real_data_available
-        found = real_data_available(cfg.dataset, cfg.data_dir)
-        if found:
-            print(f"[data] real {cfg.dataset} found at {found}")
-        else:
-            print(f"[data] no real {cfg.dataset} on disk (searched ./data, "
-                  "$IAF_DATA_DIR, /root/data, /data, /datasets, ~/data) -> "
-                  "synthetic fallback; quality gates need the real archives")
-
-    tracing = False
-    if args.profile_dir:
-        import jax
-        # start_trace hangs on tunneled/experimental backends (axon): the
-        # remote device offers no profiler service. Trace only platforms
-        # with known local profiler support; degrade with a warning else.
-        if jax.default_backend() in ("tpu", "cpu", "gpu"):
-            jax.profiler.start_trace(args.profile_dir)
-            tracing = True
-        else:
-            print(f"[profile] backend {jax.default_backend()!r} has no "
-                  "profiler service; skipping trace")
-    try:
-        if args.mode == "train":
-            train_lib.train(cfg)
-        elif args.mode in ("eval_train", "eval_test"):
-            train_lib.evaluate(cfg, mode=args.mode)
-        elif args.mode == "eval_loop":
-            train_lib.eval_loop(cfg)
-        elif args.mode == "invert_check":
-            train_lib.invert_check(cfg)
-        elif args.mode == "recon":
-            train_lib.reconstruct(cfg, num=args.num_samples,
-                                  out_path=f"{args.logdir}/recons.npy")
-        elif args.mode == "sample":
-            train_lib.sample(cfg, num=args.num_samples,
-                             temperature=[float(t) for t in
-                                          args.temperature.split(",")],
-                             out_path=f"{args.logdir}/samples.npy")
-    finally:
-        if tracing:
-            import jax
-            jax.profiler.stop_trace()
-
+from iaf_tpu.cli import main
 
 if __name__ == "__main__":
     main()
