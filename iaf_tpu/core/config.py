@@ -202,7 +202,8 @@ class Config:
         # conv's output, so conv AR hidden widths must equal h_size
         # (upstream hardcodes n_h=[h_size]*2). The dense MNIST path
         # projects context per layer and takes any width.
-        if (self.ar_kind == "conv" and self.depth_ar > 0
+        if (self.flow == "iaf" and self.ar_kind == "conv"
+                and self.depth_ar > 0
                 and self.ar_hidden_size not in (0, self.h_size)):
             raise ValueError(
                 f"ar_hidden_size={self.ar_hidden_size} != h_size="

@@ -152,6 +152,8 @@ def iaf_flow(cfg: Config, ctx: Ctx, z: jax.Array, context: jax.Array,
                 ctx, "ar1", z, context, n_h, [cfg.z_size, cfg.z_size],
                 filter_size=(cfg.kernel_size, cfg.kernel_size),
                 pallas=(not ctx.init) and use_pallas(cfg.kernels, "ar_stack"),
+                pallas_conv=(not ctx.init) and use_pallas(cfg.kernels,
+                                                          "conv"),
                 trim_rows=cfg.ar_row_trim,
                 merge_heads=cfg.merge_ar_heads)
     else:  # dense MADE over the channel vector at each position

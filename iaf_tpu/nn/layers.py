@@ -312,6 +312,7 @@ def ar_multiconv2d(ctx: Ctx, name: str, x: jax.Array, context: jax.Array,
                    n_h: Sequence[int], n_out: Sequence[int],
                    filter_size=(3, 3), nl=elu,
                    pallas: bool = False,
+                   pallas_conv: bool = False,
                    trim_rows: bool = False,
                    merge_heads: bool = False) -> list[jax.Array]:
     """Small masked-conv net computing the IAF (m, s) heads
@@ -332,7 +333,11 @@ def ar_multiconv2d(ctx: Ctx, name: str, x: jax.Array, context: jax.Array,
     matmuls (the 4 masked-out taps of the 3x3 AR mask are never computed),
     intermediates in VMEM, context add + ELU fused in. Same params, same
     math; heads are computed concatenated and split regardless of
-    ``merge_heads``'s param layout.
+    ``merge_heads``'s param layout. ``pallas_conv`` separately routes the
+    UNFUSED path's individual convs through the per-conv im2col kernel —
+    deliberately a different switch, so an A/B of the fused chain
+    (``kernels=pallas_ar``) can never silently fall through to the
+    per-conv kernel when the fused gate (3x3, uniform widths) fails.
     """
     sub = ctx.scope(name)
     if (pallas and not ctx.init and tuple(filter_size) == (3, 3)
@@ -343,7 +348,7 @@ def ar_multiconv2d(ctx: Ctx, name: str, x: jax.Array, context: jax.Array,
     h = x
     for i, size in enumerate(n_h):
         h = ar_conv2d(sub, f"layer_{i}", h, size, filter_size=filter_size,
-                      zerodiagonal=(i == 0), pallas=pallas,
+                      zerodiagonal=(i == 0), pallas=pallas_conv,
                       trim_rows=trim_rows)
         if i == 0:
             h = h + context
@@ -356,7 +361,7 @@ def ar_multiconv2d(ctx: Ctx, name: str, x: jax.Array, context: jax.Array,
             [get_conv_ar_mask(filter_size[0], filter_size[1], h.shape[-1],
                               size, False) for size in n_out], axis=-1)
         out = conv2d(sub, "layer_out", h, sum(n_out),
-                     filter_size=filter_size, mask=mask, pallas=pallas,
+                     filter_size=filter_size, mask=mask, pallas=pallas_conv,
                      trim_rows=trim_rows)
         outs, start = [], 0
         for size in n_out:
@@ -365,7 +370,7 @@ def ar_multiconv2d(ctx: Ctx, name: str, x: jax.Array, context: jax.Array,
         return outs
     return [
         ar_conv2d(sub, f"layer_out_{i}", h, size, filter_size=filter_size,
-                  zerodiagonal=False, pallas=pallas, trim_rows=trim_rows)
+                  zerodiagonal=False, pallas=pallas_conv, trim_rows=trim_rows)
         for i, size in enumerate(n_out)
     ]
 
@@ -395,13 +400,13 @@ def _ar_multiconv2d_fused(sub: Ctx, x: jax.Array, context: jax.Array,
         W, b = _folded_conv_wb(sub, "layer_out", prev, sum(n_out), (3, 3),
                                mask)
     else:
-        parts = [(_folded_conv_wb(sub, f"layer_out_{i}", prev, size, (3, 3),
-                                  get_conv_ar_mask(3, 3, prev, size, False)),
-                  get_conv_ar_mask(3, 3, prev, size, False))
-                 for i, size in enumerate(n_out)]
-        W = jnp.concatenate([p[0][0] for p in parts], axis=-1)
-        b = jnp.concatenate([p[0][1] for p in parts], axis=-1)
-        mask = np.concatenate([p[1] for p in parts], axis=-1)
+        head_masks = [get_conv_ar_mask(3, 3, prev, size, False)
+                      for size in n_out]
+        parts = [_folded_conv_wb(sub, f"layer_out_{i}", prev, size, (3, 3), m)
+                 for i, (size, m) in enumerate(zip(n_out, head_masks))]
+        W = jnp.concatenate([w for w, _ in parts], axis=-1)
+        b = jnp.concatenate([bb for _, bb in parts], axis=-1)
+        mask = np.concatenate(head_masks, axis=-1)
     ws.append(W)
     bs.append(b)
     masks.append(mask)

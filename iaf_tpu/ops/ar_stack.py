@@ -52,9 +52,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from iaf_tpu.ops._common import use_interpret
 
-def _interp() -> bool:
-    return jax.default_backend() != "tpu"
+
 
 
 def nonzero_taps(mask: np.ndarray) -> tuple[tuple[int, int], ...]:
@@ -69,7 +69,8 @@ def nonzero_taps(mask: np.ndarray) -> tuple[tuple[int, int], ...]:
 # XLA twin (oracle + backward)
 # ---------------------------------------------------------------------------
 
-def ar_stack_xla(z, context, *wb, trim: bool = True):
+def ar_stack_xla(z, context, *wb, trim: bool = True,
+                 compute_dtype: str | None = None):
     """The same chain in plain XLA ops on full dense (pre-masked) weights:
     conv+bias, +context after conv 0, ELU after every hidden conv, final
     conv is the (merged) head projection with no nonlinearity.
@@ -77,7 +78,12 @@ def ar_stack_xla(z, context, *wb, trim: bool = True):
     ``trim`` slices off the all-zero kernel rows below the raster center
     (asymmetric padding keeps SAME semantics) — exact-equivalent math, 1/3
     fewer conv FLOPs; it is ON so the twin (which is also the fused path's
-    custom_vjp backward) costs the same as the production XLA path."""
+    custom_vjp backward) costs the same as the production XLA path.
+    ``compute_dtype="bfloat16"`` casts each conv's inputs like the
+    production layers do (nn/layers.py) and like the fused kernel does, so
+    the twin — and therefore the fused path's backward — differentiates
+    the same numerics the forward ran."""
+    cd = jnp.bfloat16 if compute_dtype == "bfloat16" else None
     n = len(wb) // 2
     h = z
     for i in range(n):
@@ -88,9 +94,11 @@ def ar_stack_xla(z, context, *wb, trim: bool = True):
             # rows {0, 1} carry weight for a 3x3 AR mask; row 2 is zero
             w = w[:2]
             pad = ((1, 0), ((kw - 1) // 2, (kw - 1) // 2))
+        hc, wc = (h, w) if cd is None else (h.astype(cd), w.astype(cd))
         h = jax.lax.conv_general_dilated(
-            h, w, (1, 1), pad,
-            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+            hc, wc, (1, 1), pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC")
+        ).astype(jnp.float32) + b
         if i == 0:
             h = h + context
         if i < n - 1:
@@ -205,7 +213,7 @@ def _pallas_stack(spec, z, context, *wb):
                                 + sum(w.size for w in wb[0::2])
                                 + b * hh * ww * cout),
             transcendentals=b * hh * ww * sum(widths[:-1])),
-        interpret=_interp(),
+        interpret=use_interpret(),
     )(*args)
 
 
@@ -219,9 +227,16 @@ def _fwd(spec, z, context, *wb):
 
 
 def _bwd(spec, res, g):
+    # Backward = VJP of the compute_dtype-matched XLA twin. Note this
+    # re-runs the chain's forward to rebuild residuals (inherent to the
+    # twin-backward design; XLA's own autodiff would save intermediates) —
+    # part of why the fused path lost its A/B (PARITY.md "Pallas verdict").
+    cdtype = spec[2]
     z, context, wb = res
-    _, vjp = jax.vjp(lambda z_, c_, *wb_: ar_stack_xla(z_, c_, *wb_),
-                     z, context, *wb)
+    _, vjp = jax.vjp(
+        lambda z_, c_, *wb_: ar_stack_xla(z_, c_, *wb_,
+                                          compute_dtype=cdtype),
+        z, context, *wb)
     return vjp(g)
 
 

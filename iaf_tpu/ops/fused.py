@@ -20,9 +20,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from iaf_tpu.ops._common import use_interpret
 
-def _interp() -> bool:
-    return jax.default_backend() != "tpu"
+
 
 
 # ---------------------------------------------------------------------------
@@ -59,7 +59,7 @@ def _iaf_pallas(z, m, s):
                                 memory_space=pltpu.VMEM)),
         out_shape=(jax.ShapeDtypeStruct((b, h, w, c), z.dtype),
                    jax.ShapeDtypeStruct((b, 1), z.dtype)),
-        interpret=_interp(),
+        interpret=use_interpret(),
     )(z, m, s)
     return z_new, sum_s[:, 0]
 
@@ -129,7 +129,7 @@ def _dl_pallas(mean, logscale, sample, binsize):
         out_specs=pl.BlockSpec((b, 1), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, 1), mean.dtype),
-        interpret=_interp(),
+        interpret=use_interpret(),
     )(scalars, mean, sample)
     return out[:, 0]
 

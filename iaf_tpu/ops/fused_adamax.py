@@ -27,9 +27,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from iaf_tpu.ops._common import use_interpret
 
-def _interp() -> bool:
-    return jax.default_backend() != "tpu"
+
 
 
 def _kernel(lr_ref, p_ref, g_ref, m_ref, u_ref, e_ref,
@@ -91,7 +91,7 @@ def adamax_polyak_leaf(p, g, m, u, e, lr_t, *,
         # measured attempt without aliasing showed %copy ops on every
         # operand — 27.3 vs 33.1 steps/s) nor allocates fresh results.
         input_output_aliases={1: 0, 3: 1, 4: 2, 5: 3},
-        interpret=_interp(),
+        interpret=use_interpret(),
     )(lr_arr, p2.astype(jnp.float32), g.reshape(p2.shape),
       m.reshape(p2.shape), u.reshape(p2.shape), e.reshape(p2.shape))
     return tuple(o.reshape(shape) for o in outs)

@@ -28,9 +28,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from iaf_tpu.ops._common import use_interpret
 
-def _use_interpret() -> bool:
-    return jax.default_backend() != "tpu"
+
 
 
 def xla_conv2d_same(x: jax.Array, w: jax.Array) -> jax.Array:
@@ -82,7 +82,7 @@ def _pallas_conv(x: jax.Array, w: jax.Array) -> jax.Array:
             flops=flops,
             bytes_accessed=4 * (x.size + wmat.size + b * h * wd * cout),
             transcendentals=0),
-        interpret=_use_interpret(),
+        interpret=use_interpret(),
     )(xpad, wmat)
 
 

@@ -58,6 +58,11 @@ def test_ar_hidden_fallback():
                   ar_kind="dense").ar_hidden == 320
     with pytest.raises(ValueError, match="ar_hidden_size"):
         Config(h_size=160, ar_hidden_size=320)
+    # configs that never build the conv AR net are exempt: diag flow (no
+    # flow at all) and depth_ar=0 must not reject a stale ar_hidden_size
+    # (e.g. from an old hps.json loaded via resolve_config)
+    Config(h_size=160, ar_hidden_size=320, flow="diag")
+    Config(h_size=160, ar_hidden_size=320, depth_ar=0)
 
 
 def test_hparams_save_load_roundtrip(tmp_path):

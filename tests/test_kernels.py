@@ -176,6 +176,26 @@ def test_ar_stack_fused_matches_xla(depth_ar, bb):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_ar_stack_fused_bf16_matches_bf16_twin():
+    """The kernel's bfloat16 compute branch vs the twin's matching
+    compute_dtype cast: same casts, f32 accumulation, loose tolerance for
+    accumulation-order differences."""
+    zs, ah = 4, 8
+    z = jax.random.normal(jax.random.PRNGKey(8), (4, 6, 6, zs))
+    context = jax.random.normal(jax.random.PRNGKey(9), (4, 6, 6, ah))
+    ws, bs, masks = _ar_chain_wb(jax.random.PRNGKey(10), zs, ah, [zs, zs], 2)
+    wb = [t for pair in zip(ws, bs) for t in pair]
+    got = ar_stack_fused(z, context, ws, bs, masks, batch_block=2,
+                         compute_dtype="bfloat16")
+    want = ar_stack_xla(z, context, *wb, compute_dtype="bfloat16")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-2, atol=2e-2)
+    # and the bf16 twin itself stays close to the f32 chain
+    want32 = ar_stack_xla(z, context, *wb)
+    np.testing.assert_allclose(np.asarray(want), np.asarray(want32),
+                               rtol=1e-1, atol=1e-1)
+
+
 def test_ar_stack_fused_grads_match_xla():
     zs, ah = 2, 4
     z = jax.random.normal(jax.random.PRNGKey(3), (2, 5, 5, zs))
@@ -286,3 +306,24 @@ def test_model_forward_same_with_pallas_kernels():
                                rtol=1e-5)
     np.testing.assert_allclose(np.asarray(out_x.elbo_nats),
                                np.asarray(out_p.elbo_nats), rtol=1e-5)
+
+
+def test_model_forward_pallas_unmerged_heads():
+    """Same model-level pallas ≡ xla claim with merge_ar_heads=false: the
+    fused AR wrapper then concatenates the separate m/s head scopes itself
+    (_ar_multiconv2d_fused else-branch) and must stay exact."""
+    from iaf_tpu.core.config import Config
+    from iaf_tpu.models import cvae
+
+    base = dict(dataset="synthetic", image_size=8, channels=3, z_size=2,
+                h_size=8, depth=1, num_blocks=1, depth_ar=2, ar_hidden_size=8,
+                kl_min=0.0, seed=0, compute_dtype="float32",
+                merge_ar_heads=False)
+    x = np.random.RandomState(1).randint(0, 256, (2, 8, 8, 3)).astype(np.uint8)
+    cfg_x = Config(**base, kernels="xla")
+    cfg_p = Config(**base, kernels="pallas")
+    params = cvae.init_params(cfg_x, jax.random.PRNGKey(0), x)
+    out_x = cvae.apply_fn(cfg_x, params, jax.random.PRNGKey(1), x)
+    out_p = cvae.apply_fn(cfg_p, params, jax.random.PRNGKey(1), x)
+    np.testing.assert_allclose(float(out_x.loss), float(out_p.loss),
+                               rtol=1e-5)

@@ -23,7 +23,14 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 VARIANTS = {
+    # "base" = CURRENT DEFAULTS. As of r2 that already means bf16 compute,
+    # merged AR heads, row trim, and (on TPU) the fused optimizer kernel —
+    # so the counterfactual variants below REMOVE a win to re-verify it;
+    # the historical additive variants (bf16, merge_heads) are now no-ops
+    # vs base and kept only for running against older checkouts.
     "base": "",                        # current defaults (unrolled stacked)
+    "f32": ",compute_dtype=float32",   # reference recipe (removes bf16 win)
+    "xla_opt": ",kernels=xla",         # removes the fused-optimizer win
     "scan": ",scan_blocks=true",
     "scan_remat": ",scan_blocks=true,remat=true",
     "notrim": ",ar_row_trim=false",

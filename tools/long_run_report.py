@@ -33,15 +33,24 @@ def load(path):
 
 
 def main() -> None:
+    if len(sys.argv) < 2:
+        print(__doc__)
+        sys.exit(2)
     logdir = sys.argv[1]
     collapse_kl = 0.02
     if "--collapse_kl" in sys.argv:
         collapse_kl = float(sys.argv[sys.argv.index("--collapse_kl") + 1])
-    rows = load(os.path.join(logdir, "metrics.jsonl"))
+    path = os.path.join(logdir, "metrics.jsonl")
+    if not os.path.exists(path):
+        print(f"FAIL no metrics.jsonl in {logdir}")
+        sys.exit(2)
+    rows = load(path)
     train = [r for r in rows if "loss" in r]
     evals = [r for r in rows if "eval_bits_per_dim" in r
              or "eval_nll_nats" in r]
-    assert train, "no training rows logged"
+    if not train:
+        print("FAIL no training rows logged (run died before first log?)")
+        sys.exit(2)
     ok = True
 
     def flat(v):
