@@ -43,6 +43,9 @@ VARIANTS = {
     # batch 64 at fixed examples/s: reported steps/s must be doubled to
     # compare against batch-32 variants (the harness reports raw steps/s)
     "batch64": ",batch_size=64",
+    "batch128": ",batch_size=128",
+    "batch256": ",batch_size=256",  # reference effective batch (32 x 8 GPUs)
+    "batch256_ga8": ",batch_size=256,grad_accum=8",  # memory-bounded form
     # NOT parity configs — roofline probes for the h=160 tile-fragmentation
     # theory (tools/roofline.py tile_ceiling): if conv time follows PADDED
     # channel tiles, h192 costs the same as h160 and h128 is ~2.2x faster;
@@ -70,9 +73,11 @@ def build(extra: str):
 
     cfg = get_default_hparams().parse(BASE + extra)
     mesh = make_mesh(cfg)
-    ds = synthetic_dataset(cfg.image_size, cfg.channels, n_train=128,
-                           n_test=64, seed=0)
+    ds = synthetic_dataset(cfg.image_size, cfg.channels,
+                           n_train=max(128, cfg.batch_size), n_test=64,
+                           seed=0)
     x = ds.train_x[: cfg.batch_size]
+    assert x.shape[0] == cfg.batch_size, (x.shape, cfg.batch_size)
     state = ts.init_train_state(cfg, jax.random.PRNGKey(0), x)
     state = ts.place_state(state, mesh)  # avoid 2nd-call recompile
     chunk = ts.make_train_chunk(cfg, mesh, S)

@@ -62,11 +62,19 @@ def measure(n: int, batch_per_chip: int, extra: str = "") -> float:
 
 
 def main() -> None:
+    args = list(sys.argv[1:])
+    if "--cpu" in args:
+        # virtual-device sweep: the axon sitecustomize overrides
+        # JAX_PLATFORMS, so the env var alone cannot switch platforms
+        args.remove("--cpu")
+        os.environ.setdefault("XLA_FLAGS",
+                              "--xla_force_host_platform_device_count=8")
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     import jax
 
     from iaf_tpu.train_lib import setup_compilation_cache
     setup_compilation_cache()
-    args = list(sys.argv[1:])
     extra = ""
     if "--hpconfig" in args:
         i = args.index("--hpconfig")
