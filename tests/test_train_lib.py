@@ -179,3 +179,17 @@ def test_reconstruct_both_families(tmp_path):
     train_lib.train(mcfg, data_iter=synthetic_iter(8, 8, 1, seed=3))
     recon = train_lib.reconstruct(mcfg, num=4)
     assert recon.shape == (4, 8, 8, 1) and recon.dtype == np.uint8
+
+
+def test_cli_help_smoke():
+    """Both CLI entries (train.py shim and iaf_tpu.cli) parse args — guards
+    the pyproject console-script wiring without touching a backend."""
+    import subprocess
+    import sys
+
+    for target in (["train.py"], ["-m", "iaf_tpu.cli"]):
+        r = subprocess.run([sys.executable, *target, "--help"],
+                           capture_output=True, text=True, timeout=60)
+        assert r.returncode == 0, r.stderr
+        assert "--hpconfig" in r.stdout
+        assert "invert_check" in r.stdout
