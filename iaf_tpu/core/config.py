@@ -197,6 +197,11 @@ class Config:
         return dataclasses.replace(self, **updates)
 
     def __post_init__(self):
+        # The kernel switch feeds A/B methodology (_AUTO_WINS admission);
+        # a typo silently measuring XLA-vs-XLA must be impossible.
+        legal = ("auto", "pallas", "xla", "pallas_ar", "pallas_opt")
+        if self.kernels not in legal:
+            raise ValueError(f"kernels={self.kernels!r} not in {legal}")
         # The conv AR path adds the h_size-wide context (up_context +
         # down_context, tf_train.py IAFLayer) to the FIRST hidden masked
         # conv's output, so conv AR hidden widths must equal h_size
@@ -210,6 +215,16 @@ class Config:
                 f"{self.h_size}: conv AR hidden width is fixed to h_size "
                 "by the context add (set ar_hidden_size=0, or use "
                 "ar_kind=dense)")
+        # With no hidden layer, the conv AR chain has nowhere to add the
+        # context (it is added after hidden conv 0, tf_train.py parity) —
+        # the heads would silently ignore up/down context and train a
+        # degraded posterior. No-flow runs use flow=diag instead.
+        if (self.flow == "iaf" and self.ar_kind == "conv"
+                and self.depth_ar == 0):
+            raise ValueError(
+                "depth_ar=0 with the conv AR path would silently drop the "
+                "up/down context from the posterior flow; use flow=diag "
+                "for a no-flow model or depth_ar>=1")
 
     # Convenience accessors -------------------------------------------------
     @property

@@ -340,7 +340,10 @@ def ar_multiconv2d(ctx: Ctx, name: str, x: jax.Array, context: jax.Array,
     per-conv kernel when the fused gate (3x3, uniform widths) fails.
     """
     sub = ctx.scope(name)
-    if (pallas and not ctx.init and tuple(filter_size) == (3, 3)
+    # the fused kernel hardcodes ELU; a caller asking for another nl must
+    # fall through to the unfused path rather than silently get ELU
+    if (pallas and not ctx.init and nl is elu
+            and tuple(filter_size) == (3, 3)
             and len(n_h) >= 1 and len(set(n_h)) == 1):
         return _ar_multiconv2d_fused(sub, x, context, n_h, n_out,
                                      merge_heads,

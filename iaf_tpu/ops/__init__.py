@@ -39,7 +39,8 @@ _AUTO_WINS: frozenset[str] = frozenset({"optimizer"})
 
 def use_pallas(kernels: str, op: str = "elementwise") -> bool:
     """Resolve the config ``kernels`` switch per op class
-    (op in {"conv", "ar_stack", "elementwise"}).
+    (op in {"conv", "ar_stack", "optimizer", "elementwise"} — "optimizer"
+    is the one class "auto" currently admits on TPU).
 
     "pallas" forces everything; "xla" disables everything. "auto" admits an
     op class only once it has measured FASTER than its XLA twin on TPU in an

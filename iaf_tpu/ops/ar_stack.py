@@ -113,7 +113,7 @@ def ar_stack_xla(z, context, *wb, trim: bool = True,
 def _stack_kernel(*refs, taps, widths, bb, hh, ww, compute_dtype):
     """One grid program = ``bb`` images through the whole chain.
 
-    refs layout: zp, ctx, (wt_i, b_i) * n_convs, out, pad_a, pad_b.
+    refs layout: zp, ctx, (wt_i, b_i) * n_convs, out, pad (scratch).
     ``zp`` is the spatially pre-padded input block; intermediates are
     zero-padded into VMEM scratch between convs. Each conv is a sum of
     per-(nonzero-)tap MXU matmuls on [bb*H*W, cin] row blocks.
@@ -122,7 +122,10 @@ def _stack_kernel(*refs, taps, widths, bb, hh, ww, compute_dtype):
     zp_ref, ctx_ref = refs[0], refs[1]
     wrefs = refs[2:2 + 2 * n]
     o_ref = refs[2 + 2 * n]
-    pads = refs[3 + 2 * n:]  # two ping-pong scratch buffers
+    pad = refs[3 + 2 * n]  # one scratch: each conv fully consumes its
+    # padded input before the next interior store, and the halo border
+    # only ever holds zeros (uniform hidden widths), so a single buffer
+    # zeroed once per program is safe
     rows = bb * hh * ww
 
     def conv(src_ref, conv_i):
@@ -145,11 +148,11 @@ def _stack_kernel(*refs, taps, widths, bb, hh, ww, compute_dtype):
         # negative branch costs <1e-7 absolute near 0 (well under test tol)
         return jnp.where(v > 0, v, jnp.exp(jnp.minimum(v, 0.0)) - 1.0)
 
+    if n > 1:
+        pad[:] = jnp.zeros_like(pad)  # zero the halo once per program
     h = conv(zp_ref, 0) + ctx_ref[:].reshape(rows, ctx_ref.shape[-1])
     for i in range(1, n):
         h = elu(h)
-        pad = pads[(i - 1) % 2]
-        pad[:] = jnp.zeros_like(pad)
         pad[:, 1:hh + 1, 1:ww + 1, :] = h.reshape(bb, hh, ww, widths[i - 1])
         h = conv(pad, i)
     o_ref[:] = h.reshape(bb, hh, ww, o_ref.shape[-1])
@@ -204,7 +207,6 @@ def _pallas_stack(spec, z, context, *wb):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, hh, ww, cout), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((bb, hh + 2, ww + 2, pad_w), jnp.float32),
             pltpu.VMEM((bb, hh + 2, ww + 2, pad_w), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(

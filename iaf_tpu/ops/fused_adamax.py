@@ -53,19 +53,36 @@ def adamax_polyak_leaf(p, g, m, u, e, lr_t, *,
     Any leaf shape is accepted; internally collapsed to 2D with the
     original last axis as the lane dimension.
     """
-    shape = p.shape
-    if p.ndim >= 2:
-        cols = shape[-1]
-        p2 = p.reshape(-1, cols)
-    else:
-        cols = max(1, p.size)
-        p2 = p.reshape(1, cols)
-    rows = p2.shape[0]
     # Block rows from the VMEM budget in LANE-PADDED bytes: Mosaic pads the
     # lane dim to 128, and the pipeline double-buffers all 9 operand/result
     # streams, so per-buffer blocks must stay well under 16MB/(9*2).
-    padded_cols = ((cols + 127) // 128) * 128
     per_buf_bytes = 512 * 1024
+
+    def plan(cols: int) -> bool:
+        return ((cols + 127) // 128) * 128 * 4 <= per_buf_bytes
+
+    shape = p.shape
+    if p.ndim >= 2 and plan(shape[-1]):
+        cols = shape[-1]
+        p2 = p.reshape(-1, cols)
+    else:
+        # 1-D/scalar leaves, or a last axis too wide for even one row per
+        # block: flatten and pick the widest 128-multiple column count
+        # that divides the size (cols=size for tiny leaves)
+        n = max(1, p.size)
+        cols = n
+        for c in (2048, 1024, 512, 256, 128):
+            if n % c == 0:
+                cols = c
+                break
+        if not plan(cols):  # huge prime-ish flat leaf: stay on XLA
+            m_t = beta1 * m + (1.0 - beta1) * g
+            u_t = jnp.maximum(beta2 * u, jnp.abs(g))
+            p_t = p - lr_t * m_t / (u_t + eps)
+            return p_t, m_t, u_t, polyak_decay * e + (1 - polyak_decay) * p_t
+        p2 = p.reshape(-1, cols)
+    rows = p2.shape[0]
+    padded_cols = ((cols + 127) // 128) * 128
     br = max(1, min(rows, per_buf_bytes // (padded_cols * 4)))
     if br >= 8:
         br -= br % 8

@@ -59,10 +59,16 @@ def test_ar_hidden_fallback():
     with pytest.raises(ValueError, match="ar_hidden_size"):
         Config(h_size=160, ar_hidden_size=320)
     # configs that never build the conv AR net are exempt: diag flow (no
-    # flow at all) and depth_ar=0 must not reject a stale ar_hidden_size
-    # (e.g. from an old hps.json loaded via resolve_config)
+    # flow at all) must not reject a stale ar_hidden_size (e.g. from an
+    # old hps.json loaded via resolve_config)
     Config(h_size=160, ar_hidden_size=320, flow="diag")
-    Config(h_size=160, ar_hidden_size=320, depth_ar=0)
+    Config(h_size=160, ar_hidden_size=320, flow="diag", depth_ar=0)
+    # conv AR with no hidden layer would silently drop the context add
+    with pytest.raises(ValueError, match="depth_ar=0"):
+        Config(depth_ar=0)
+    # the kernel switch is validated (a typo must not silently measure XLA)
+    with pytest.raises(ValueError, match="kernels"):
+        Config(kernels="palas")
 
 
 def test_hparams_save_load_roundtrip(tmp_path):

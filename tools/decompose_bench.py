@@ -10,7 +10,8 @@ other tenants) to attribute the gap:
   full       fwd + bwd + Adamax/EMA update        (the bench.py program)
   no_opt     fwd + bwd only (grads computed, update skipped)
   fwd        forward/loss only, no grad
-  no_ar      full step with depth_ar=0 (AR convs ablated)
+  no_ar      full step with ar_kind=dense (AR convs ablated; tiny
+             per-position dense MADE heads keep flow+context semantics)
   diag       full step with flow=diag (no IAF machinery at all)
 
 Derived attributions printed at the end:
@@ -117,7 +118,11 @@ VARIANTS = [
     ("full", "", "train"),
     ("no_opt", "", "grads"),
     ("fwd", "", "fwd"),
-    ("no_ar", ",depth_ar=0", "train"),
+    # AR-conv ablation: dense per-position MADE heads replace the masked
+    # convs (depth_ar=0 with conv AR is rejected by config validation —
+    # it would silently drop the context add; the tiny dense stack keeps
+    # the flow + context semantics while removing ~all AR-conv FLOPs)
+    ("no_ar", ",ar_kind=dense", "train"),
     ("diag", ",flow=diag", "train"),
 ]
 
