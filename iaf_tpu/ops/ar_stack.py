@@ -55,8 +55,6 @@ from jax.experimental.pallas import tpu as pltpu
 from iaf_tpu.ops._common import use_interpret
 
 
-
-
 def nonzero_taps(mask: np.ndarray) -> tuple[tuple[int, int], ...]:
     """Static (dy, dx) taps of an HWIO mask with any nonzero weight."""
     kh, kw = mask.shape[:2]

@@ -23,8 +23,6 @@ from jax.experimental.pallas import tpu as pltpu
 from iaf_tpu.ops._common import use_interpret
 
 
-
-
 # ---------------------------------------------------------------------------
 # IAF update (division form): z' = (z - m) * exp(-s); logdet_i = sum_i s
 # ---------------------------------------------------------------------------

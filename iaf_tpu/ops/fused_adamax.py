@@ -30,8 +30,6 @@ from jax.experimental.pallas import tpu as pltpu
 from iaf_tpu.ops._common import use_interpret
 
 
-
-
 def _kernel(lr_ref, p_ref, g_ref, m_ref, u_ref, e_ref,
             po_ref, mo_ref, uo_ref, eo_ref, *, b1, b2, eps, d):
     g = g_ref[:]

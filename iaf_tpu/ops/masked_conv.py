@@ -31,8 +31,6 @@ from jax.experimental.pallas import tpu as pltpu
 from iaf_tpu.ops._common import use_interpret
 
 
-
-
 def xla_conv2d_same(x: jax.Array, w: jax.Array) -> jax.Array:
     """The XLA twin: stride-1 SAME conv, NHWC/HWIO."""
     return jax.lax.conv_general_dilated(
