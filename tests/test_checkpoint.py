@@ -100,3 +100,62 @@ def test_save_retention_keeps_newest(tmp_path):
     ckpt.save(str(tmp_path), 8, {"x": np.zeros(2)}, keep=0)
     assert len([p for p in os.listdir(str(tmp_path))
                 if p.endswith(".npz")]) == 4
+
+
+def test_resume_across_mesh_change(tmp_path):
+    """A checkpoint written on a 1-device mesh must restore onto an
+    8-device mesh (single-host run promoted to a pod slice — SURVEY §5.4
+    "loader maps single-host <-> multi-host shardings") with the SAME loss
+    trajectory as an uninterrupted single-device run (DP is mesh-invariant,
+    tests/test_parallel.py)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from iaf_tpu import train_lib
+    from iaf_tpu.parallel import train_step as ts
+    from iaf_tpu.parallel.mesh import make_mesh
+
+    cfg = Config(dataset="synthetic", image_size=8, channels=3, z_size=2,
+                 h_size=8, depth=1, num_blocks=1, depth_ar=1,
+                 ar_hidden_size=8, kl_min=0.25, batch_size=8,
+                 learning_rate=0.01, seed=0, compute_dtype="float32")
+    rng = np.random.RandomState(0)
+    x = rng.randint(0, 256, (8, 8, 8, 3)).astype(np.uint8)
+    keys = [jax.random.PRNGKey(50 + i) for i in range(5)]
+
+    def run(mesh, state, steps, key_seq):
+        step_fn = ts.make_train_step(cfg, mesh)
+        xs = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P("data")))
+        losses = []
+        for k in key_seq:
+            state, m = step_fn(state, k, xs)
+            losses.append(float(np.asarray(m["loss"])))
+        return state, losses
+
+    mesh1 = Mesh(np.array(jax.devices()[:1]).reshape(1, 1),
+                 ("data", "model"))
+    mesh8 = make_mesh(cfg)
+    assert mesh8.shape["data"] == 8
+
+    params = cvae.init_params(cfg, jax.random.PRNGKey(0), x)
+
+    def fresh_state():
+        # the train step donates its state buffers, so each arm needs its
+        # own copy of the initial params
+        p = jax.tree.map(jnp.copy, params)
+        return ts.TrainState(p, optim.init_state(p))
+
+    # reference: 5 uninterrupted steps on the 1-device mesh
+    st = ts.place_state(fresh_state(), mesh1)
+    _, ref_losses = run(mesh1, st, 5, keys)
+
+    # test: 2 steps on mesh1 -> checkpoint -> restore onto mesh8 -> 3 steps
+    st = ts.place_state(fresh_state(), mesh1)
+    st, head = run(mesh1, st, 2, keys[:2])
+    path = ckpt.save(str(tmp_path), 2,
+                     train_lib.state_to_tree(2, st, jax.random.PRNGKey(9)))
+    step, st8, _ = train_lib.tree_to_state(ckpt.restore(path))
+    assert step == 2
+    st8 = ts.place_state(st8, mesh8)
+    _, tail = run(mesh8, st8, 3, keys[2:])
+
+    np.testing.assert_allclose(head + tail, ref_losses, rtol=1e-5)
