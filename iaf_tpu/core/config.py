@@ -115,10 +115,11 @@ class Config:
     # Either way the params stay STACKED (~25 large optimizer leaves instead
     # of 428 tiny ones); the flag only picks the execution form, with
     # identical math, keys, and trajectories. Measured on TPU (interleaved
-    # A/B, paper config): scan 23.6 vs unroll 31.0 steps/s — scan blocks
-    # cross-layer fusion/overlap, so unrolled is the perf default; scan
-    # remains the choice for compile-time- or memory-constrained runs
-    # (pairs with remat).
+    # A/B, paper config): scan 23.6 vs unroll 31.0 steps/s at batch 32 and
+    # 10.12 vs 13.06 at batch 128 — the ~23% carry-serialization penalty is
+    # batch-independent, so unrolled is the perf default; scan remains the
+    # choice for compile-time- or memory-constrained runs (pairs with
+    # remat).
     scan_blocks: bool = False
     # Rematerialize the per-layer bodies in backward (jax.checkpoint on the
     # scan body): activation memory ~L-fold smaller for ~1/3 more FLOPs.

@@ -44,6 +44,7 @@ VARIANTS = {
     # compare against batch-32 variants (the harness reports raw steps/s)
     "batch64": ",batch_size=64",
     "batch128": ",batch_size=128",
+    "scan_b128": ",scan_blocks=true,batch_size=128",
     "batch256": ",batch_size=256",  # reference effective batch (32 x 8 GPUs)
     "batch256_ga8": ",batch_size=256,grad_accum=8",  # memory-bounded form
     # NOT parity configs — roofline probes for the h=160 tile-fragmentation
