@@ -49,8 +49,18 @@ def load_cifar10(data_dir: str) -> Dataset | None:
     if not os.path.isdir(extracted):
         if not os.path.isfile(tgz) and not _try_download(CIFAR_URL, tgz):
             return None
-        with tarfile.open(tgz, "r:gz") as f:
-            f.extractall(data_dir)  # noqa: S202
+        try:
+            with tarfile.open(tgz, "r:gz") as f:
+                f.extractall(data_dir)  # noqa: S202
+        except OSError:
+            # read-only data mount (e.g. /datasets): extract into the local
+            # working dir instead of crashing the run
+            alt = os.path.join("./data", "cifar10_extract")
+            extracted = os.path.join(alt, "cifar-10-batches-py")
+            if not os.path.isdir(extracted):
+                os.makedirs(alt, exist_ok=True)
+                with tarfile.open(tgz, "r:gz") as f:
+                    f.extractall(alt)  # noqa: S202
 
     def _batch(name):
         with open(os.path.join(extracted, name), "rb") as f:
@@ -159,10 +169,10 @@ def real_data_available(name: str, data_dir: str = "./data") -> str | None:
                         os.path.join(d, "cifar-10-python.tar.gz"))):
                 return d
         elif name == "mnist":
-            if all(os.path.isfile(os.path.join(d, n + s))
-                   for n in mnist_names for s in [""]) or \
-               all(os.path.isfile(os.path.join(d, n + ".gz"))
-                   for n in mnist_names):
+            # per-file plain-or-.gz, matching load_mnist's _find (a mixed
+            # directory must not silently fall back to synthetic)
+            if all(any(os.path.isfile(os.path.join(d, n + s))
+                       for s in ("", ".gz")) for n in mnist_names):
                 return d
     return None
 

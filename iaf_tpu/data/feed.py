@@ -44,6 +44,12 @@ def batch_iterator(images: np.ndarray, global_batch: int, seed: int,
     assert global_batch % pcnt == 0, (global_batch, pcnt)
     local_batch = global_batch // pcnt
     per_host = len(images) // pcnt
+    if local_batch > per_host:
+        # would otherwise spin forever yielding nothing (every epoch's
+        # start range is empty)
+        raise ValueError(
+            f"per-host batch {local_batch} exceeds the per-host dataset "
+            f"size {per_host} ({len(images)} examples / {pcnt} hosts)")
     batches_per_epoch = max(1, per_host // local_batch)
     epoch = start_step // batches_per_epoch
     skip = start_step % batches_per_epoch

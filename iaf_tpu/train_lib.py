@@ -47,12 +47,38 @@ def setup_compilation_cache() -> None:
         pass  # older jax without the knobs
 
 
+_dist_bootstrapped = False
+
+
 def maybe_init_distributed() -> None:
     """Multi-host bootstrap over DCN (SURVEY.md §5.8); single-process when
-    no coordinator is configured."""
+    no coordinator is configured.
+
+    ORDER MATTERS: ``jax.distributed.initialize()`` must run before ANY
+    call that initializes the XLA backend — including ``jax.process_count``
+    — or it raises. The env var alone gates the call; a module flag stops
+    repeat attempts when train/evaluate are called in one process, and an
+    already-initialized service (e.g. a test worker that called
+    ``initialize()`` itself) is accepted."""
+    global _dist_bootstrapped
+    if not _dist_bootstrapped and os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        try:
+            jax.distributed.initialize()
+        except RuntimeError as e:  # already initialized elsewhere
+            print(f"[dist] initialize skipped: {e}")
+    _dist_bootstrapped = True
     setup_compilation_cache()
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") and jax.process_count() == 1:
-        jax.distributed.initialize()
+
+
+def _replicate_global(batch, mesh):
+    """jit args on a multi-host mesh must be GLOBAL arrays; every host
+    holds the same deterministic batch, so replicate it explicitly
+    (single-process: the numpy array is fine as-is)."""
+    if jax.process_count() > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return jax.make_array_from_process_local_data(
+            NamedSharding(mesh, P()), np.asarray(batch))
+    return batch
 
 
 def state_to_tree(step: int, state: ts.TrainState, rng) -> dict:
@@ -96,6 +122,7 @@ def train(cfg: Config, max_steps: int | None = None,
         if jax.process_index() == 0:
             print(f"[train] restored {latest} at step {start_step}")
 
+    ds = None
     if data_iter is None:
         ds, is_real = load_dataset(cfg.dataset, cfg.data_dir, cfg.image_size,
                                    cfg.channels)
@@ -120,9 +147,10 @@ def train(cfg: Config, max_steps: int | None = None,
     # (use --mode eval_loop for the full polling-process parity).
     eval_fn = eval_images = None
     if cfg.eval_every > 0:
-        eds, _ = load_dataset(cfg.dataset, cfg.data_dir, cfg.image_size,
-                              cfg.channels)
-        eval_images = eds.test_x[: cfg.eval_batch_size]
+        if ds is None:  # caller-supplied data_iter: load for eval only
+            ds, _ = load_dataset(cfg.dataset, cfg.data_dir, cfg.image_size,
+                                 cfg.channels)
+        eval_images = ds.test_x[: cfg.eval_batch_size]
         if cfg.binarize:
             # eval must use the same protocol as training: SAMPLED
             # binarization (fixed seed), not the easier 0.5-threshold that
@@ -136,6 +164,9 @@ def train(cfg: Config, max_steps: int | None = None,
         k_beat = min(cfg.eval_k, 64)
         k_beat = ((k_beat + n_sh - 1) // n_sh) * n_sh
         eval_fn = ev.make_eval_step(cfg, mesh, k=k_beat)
+        # same global-array discipline as evaluate(): on a multi-host mesh
+        # the replicated batch must be constructed explicitly
+        eval_images = _replicate_global(eval_images, mesh)
 
     first_local = next(data_iter)
     if restored is not None:
@@ -206,7 +237,10 @@ def train(cfg: Config, max_steps: int | None = None,
             else:
                 logger.log(step,
                            eval_bits_per_dim=m / (LOG2 * cfg.num_pixels))
-            if cfg.image_summaries and jax.process_index() == 0:
+            if cfg.image_summaries:
+                # ALL processes enter (multi-host: the EMA tree is a global
+                # array — computations on it must be collective); only
+                # process 0's logger actually writes files
                 _log_image_summaries(cfg, state, base_key, step,
                                      eval_images, logger)
             # eval wall time counts against the next steps/s window; the
@@ -251,9 +285,25 @@ def _log_image_summaries(cfg: Config, state, base_key, step: int,
                      img_tile(pairs.reshape((-1,) + recon.shape[1:])), step)
 
 
+def make_eval_setup(cfg: Config, mode: str, k: int, mesh):
+    """Load the eval split (with the training binarization protocol) and
+    compile the sharded IW eval step — once. ``eval_loop`` reuses this
+    across checkpoint polls so each poll pays neither the dataset load nor
+    a jit retrace of the k-sample program."""
+    ds, _ = load_dataset(cfg.dataset, cfg.data_dir, cfg.image_size,
+                         cfg.channels)
+    images = ds.train_x if mode == "eval_train" else ds.test_x
+    if cfg.binarize:
+        # same protocol as training: SAMPLED dynamic binarization with a
+        # fixed seed (raw grayscale into bernoulli_logp would effectively
+        # threshold at 0.5 — an easier, non-comparable protocol)
+        images = feed.dynamic_binarize(images, feed.binarize_rng(cfg.seed, -2))
+    return images, ev.make_eval_step(cfg, mesh, k=k)
+
+
 def evaluate(cfg: Config, mode: str = "eval_test", params=None,
              use_ema: bool = True, k: int | None = None,
-             max_batches: int | None = None) -> float:
+             max_batches: int | None = None, setup=None) -> float:
     """Importance-weighted eval (``tf_train.py evaluate()``): runs the
     sharded k-sample bound over the selected split with EMA (Polyak) weights
     restored from the latest checkpoint. Returns bits/dim."""
@@ -268,15 +318,9 @@ def evaluate(cfg: Config, mode: str = "eval_test", params=None,
         tree = ckpt.restore(latest)
         params = tree["opt"]["ema"] if use_ema else tree["params"]
 
-    ds, _ = load_dataset(cfg.dataset, cfg.data_dir, cfg.image_size,
-                         cfg.channels)
-    images = ds.train_x if mode == "eval_train" else ds.test_x
-    if cfg.binarize:
-        # same protocol as training: SAMPLED dynamic binarization with a
-        # fixed seed (raw grayscale into bernoulli_logp would effectively
-        # threshold at 0.5 — an easier, non-comparable protocol)
-        images = feed.dynamic_binarize(images, feed.binarize_rng(cfg.seed, -2))
-    eval_fn = ev.make_eval_step(cfg, mesh, k=k)
+    if setup is None:
+        setup = make_eval_setup(cfg, mode, k, mesh)
+    images, eval_fn = setup
     key = jax.random.PRNGKey(cfg.seed + 999)
 
     bs = cfg.eval_batch_size
@@ -285,13 +329,9 @@ def evaluate(cfg: Config, mode: str = "eval_test", params=None,
         n_batches = min(n_batches, max_batches)
     total_nats, total_n = 0.0, 0
     for i in range(n_batches):
-        batch = images[i * bs:(i + 1) * bs]
-        if jax.process_count() > 1:
-            # multi-host: jit args must be global arrays; every host loads
-            # the same (deterministic) split, replicate it explicitly
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            batch = jax.make_array_from_process_local_data(
-                NamedSharding(mesh, P()), batch)
+        # multi-host: jit args must be global arrays; every host loads the
+        # same (deterministic) split, replicate explicitly
+        batch = _replicate_global(images[i * bs:(i + 1) * bs], mesh)
         nats = eval_fn(params, jax.random.fold_in(key, i), batch)
         total_nats += float(np.sum(np.asarray(nats)))
         total_n += bs
@@ -320,6 +360,11 @@ def eval_loop(cfg: Config, mode: str = "eval_test", poll_secs: float = 30.0,
     logger = MetricsLogger(cfg.logdir, filename=f"{mode}_metrics.jsonl",
                            enabled=jax.process_index() == 0,
                            tensorboard=cfg.tensorboard)
+    # dataset + compiled k-sample program built ONCE; each poll then only
+    # pays the forward passes (a fresh evaluate() per checkpoint would
+    # reload the split and retrace/recompile the jit every time)
+    setup = make_eval_setup(cfg, mode, cfg.eval_k if k is None else k,
+                            make_mesh(cfg))
     while max_evals is None or done < max_evals:
         item = loader.maybe_load()
         if item is None:
@@ -328,7 +373,7 @@ def eval_loop(cfg: Config, mode: str = "eval_test", poll_secs: float = 30.0,
         path, tree = item
         step = int(np.asarray(tree["step"]))
         metric = evaluate(cfg, mode=mode, params=tree["opt"]["ema"], k=k,
-                          max_batches=max_batches)
+                          max_batches=max_batches, setup=setup)
         logger.log(step, **{("nll_nats" if cfg.likelihood == "bernoulli"
                              else "bits_per_dim"): metric})
         if jax.process_index() == 0:

@@ -276,3 +276,29 @@ def test_fused_optimizer_kernel_under_sharded_jit(monkeypatch):
         losses[name] = ls
     np.testing.assert_allclose(losses["xla"], losses["pallas"],
                                rtol=1e-6, atol=1e-6)
+
+
+def test_distributed_iw_bound_matches_logsumexp():
+    """The non-streamed distributed-logsumexp building block (eval_step.
+    distributed_iw_bound — the make_eval_step scan combines (max, sumexp)
+    pairs instead, so this helper needs its own oracle): sharding the k
+    axis over the mesh must reproduce the unsharded bound exactly."""
+    import math
+
+    from iaf_tpu.parallel.eval_step import distributed_iw_bound
+
+    B, K = 4, 32
+    log_w = jax.random.normal(jax.random.PRNGKey(0), (B, K)) * 3.0
+    mesh = make_mesh(Config(dataset="synthetic"))
+    n = mesh.shape["data"]
+
+    def local(lw):
+        return distributed_iw_bound(lw, K)
+
+    # shard k across the data axis: each shard holds K/n columns
+    got = jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=P(None, "data"), out_specs=P(),
+        check_vma=False))(log_w)
+    want = -(jax.scipy.special.logsumexp(log_w, axis=1) - math.log(K))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
