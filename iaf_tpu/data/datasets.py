@@ -53,9 +53,14 @@ def load_cifar10(data_dir: str) -> Dataset | None:
             with tarfile.open(tgz, "r:gz") as f:
                 f.extractall(data_dir)  # noqa: S202
         except OSError:
-            # read-only data mount (e.g. /datasets): extract into the local
-            # working dir instead of crashing the run
-            alt = os.path.join("./data", "cifar10_extract")
+            # read-only data mount (e.g. /datasets): extract into a
+            # DETERMINISTIC writable location derived from the archive path
+            # (ADVICE r2: a CWD-relative dir would silently depend on the
+            # process working directory and re-extract per CWD)
+            import tempfile
+            tag = hashlib.sha256(os.path.abspath(tgz).encode()).hexdigest()[:12]
+            alt = os.path.join(tempfile.gettempdir(),
+                               f"iaf_tpu_cifar10_{tag}")
             extracted = os.path.join(alt, "cifar-10-batches-py")
             if not os.path.isdir(extracted):
                 os.makedirs(alt, exist_ok=True)

@@ -95,13 +95,28 @@ class ChunkPrefetcher:
 
         self._q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
         self._err: BaseException | None = None
+        self._stop = threading.Event()
+        self._done = False  # terminal: repeated __next__ keeps raising
         S = max(1, steps_per_dispatch)
+
+        def put(item) -> bool:
+            # Bounded put that also watches the stop event: an aborting
+            # consumer (exception in the train loop) sets it via close(),
+            # and the worker must not stay blocked on a full queue holding
+            # device-placed chunks for the life of the process (ADVICE r2).
+            while not self._stop.is_set():
+                try:
+                    self._q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 step = start_step
                 first = first_local
-                while step < total_steps:
+                while step < total_steps and not self._stop.is_set():
                     n = min(S, total_steps - step)
                     locals_ = []
                     for _ in range(n):
@@ -114,23 +129,42 @@ class ChunkPrefetcher:
                         chunk = make_global_chunk(np.stack(locals_), mesh)
                     else:
                         chunk = make_global_batch(locals_[0], mesh)
-                    self._q.put((n, chunk))
+                    if not put((n, chunk)):
+                        return
                     step += n
             except BaseException as e:  # surfaced on the consumer side
                 self._err = e
             finally:
-                self._q.put(None)
+                put(None)
 
         self._t = threading.Thread(target=worker, daemon=True,
                                    name="iaf-input-prefetch")
         self._t.start()
 
+    def close(self) -> None:
+        """Release the worker thread and its queued device chunks. Safe to
+        call repeatedly; called from train()'s finally so an aborted run
+        (fault injection, any train-loop exception) does not strand the
+        thread blocked on the bounded queue."""
+        self._stop.set()
+        # Drain so a put()-blocked worker wakes promptly, then join.
+        try:
+            while True:
+                self._q.get_nowait()
+        except Exception:
+            pass
+        self._t.join(timeout=5.0)
+        self._done = True
+
     def __iter__(self):
         return self
 
     def __next__(self):
+        if self._done:  # terminal state: never block on q.get() again
+            raise StopIteration
         item = self._q.get()
         if item is None:
+            self._done = True
             if self._err is not None:
                 raise self._err
             raise StopIteration

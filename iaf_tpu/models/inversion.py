@@ -21,6 +21,23 @@ loops are provided:
     gives the exact inverse with far fewer, fully-MXU-shaped evaluations
     (the blockwise analogue of blockwise attention for AR inversion,
     SURVEY.md §5.7).
+  * ``invert_ar_fixed_point`` — the production form (VERDICT r2 next #4):
+    the same Jacobi sweep under a ``lax.while_loop`` that STOPS once
+    successive iterates move less than ``tol``. The IAF update is
+    near-identity by construction (the model scales m and s by 0.1,
+    ``tf_train.py IAFLayer`` parity), so the fixed-point iteration
+    contracts geometrically and converges in far fewer sweeps than the
+    worst-case DAG depth D; this returns the actual iteration count so
+    drivers can REPORT the measured convergence depth instead of paying
+    ``iters = D`` every time. Returns ``(z, n_iters)``.
+
+Why there is no finer "row-blocked scan" variant for the conv AR path:
+each Jacobi sweep's cost is one AR-net evaluation, and the AR net is a
+CONVOLUTION over the whole feature map — restricting the *update* to a
+raster block would not shrink the conv evaluation, so a sequential scan
+over row blocks with inner Jacobi does strictly more AR-net evaluations
+than the global early-exit sweep for the same accuracy. (For the dense
+MNIST path the per-position exact loop is already cheap: D = z_size.)
 
 ``ar_fn(z) -> (m, s)`` must already include the model's 0.1 scaling and
 context conditioning (see ``iaf_tpu.models.cvae.iaf_flow``).
@@ -76,3 +93,34 @@ def invert_ar_jacobi(ar_fn: ArFn, z_prime: jax.Array, iters: int,
         return _inverse_update(z_prime, m, s, gate_bias, form)
 
     return jax.lax.fori_loop(0, iters, body, jnp.zeros_like(z_prime))
+
+
+def invert_ar_fixed_point(ar_fn: ArFn, z_prime: jax.Array,
+                          tol: float = 1e-6, max_iters: int | None = None,
+                          form: str = "division", gate_bias: float = 0.0,
+                          ) -> tuple[jax.Array, jax.Array]:
+    """Early-exit Jacobi inversion: sweep until the max-abs change between
+    successive iterates drops below ``tol`` (or ``max_iters``, default the
+    exactness bound D = H*W*C). Returns ``(z, n_iters)`` — ``n_iters`` is
+    the measured convergence depth, typically << D for the 0.1-scaled IAF
+    update (report it; VERDICT r2 next #4)."""
+    D = z_prime.shape[1] * z_prime.shape[2] * z_prime.shape[3]
+    limit = D if max_iters is None else max_iters
+
+    def cond(carry):
+        _, delta, i = carry
+        return jnp.logical_and(i < limit, delta > tol)
+
+    def body(carry):
+        z, _, i = carry
+        m, s = ar_fn(z)
+        z_new = _inverse_update(z_prime, m, s, gate_bias, form)
+        # f32 carry slot regardless of z's dtype (while_loop needs a
+        # dtype-stable carry; bf16 latents still get an f32 delta)
+        delta = jnp.max(jnp.abs(z_new - z)).astype(jnp.float32)
+        return z_new, delta, i + 1
+
+    init = (jnp.zeros_like(z_prime),
+            jnp.asarray(jnp.inf, jnp.float32), jnp.int32(0))
+    z, _, iters = jax.lax.while_loop(cond, body, init)
+    return z, iters

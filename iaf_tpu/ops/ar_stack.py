@@ -35,8 +35,12 @@ weak #2.
 Gradient: ``jax.custom_vjp`` whose backward is the VJP of the XLA twin
 (``ar_stack_xla`` — the identical math on full dense weights; the masked
 positions' weight grads are killed upstream by the mask fold in
-``nn/layers.py``), so training gets exact grads while the forward runs the
-fused path. The twin doubles as the correctness oracle in tests.
+``nn/layers.py``). Grads are therefore exact w.r.t. the numerically-matched
+XLA twin, NOT bit-identical to the executed Pallas forward: under bfloat16
+the two forwards sum taps in different orders, so tiny rounding-level
+forward/backward inconsistencies are possible (well within test tolerance;
+do not rely on bit-level consistency). The twin doubles as the correctness
+oracle in tests.
 
 Reference parity: ``tf_utils/layers.py — ar_multiconv2d`` (the op's math is
 unchanged; this file only changes how the TPU executes it).
@@ -252,11 +256,24 @@ def ar_stack_fused(z, context, weights, biases, masks,
     and weight-norm scale already folded in (``nn/layers.py`` does the
     fold); ``biases``: per-conv [cout]; ``masks``: the static numpy masks
     (only their zero/nonzero tap structure is read — the values are already
-    inside ``weights``). All convs must be 3x3 stride-1 SAME.
+    inside ``weights``). All convs must be 3x3 stride-1 SAME, the hidden
+    widths uniform, and ``context`` as wide as the first hidden layer (the
+    single VMEM scratch buffer and the post-conv-0 context add assume both
+    — a direct caller violating them would otherwise hit an obscure
+    reshape/Mosaic failure deep in the kernel; ADVICE r2).
     """
     assert len(weights) == len(biases) == len(masks)
     for w in weights:
         assert w.shape[:2] == (3, 3), w.shape
+    hidden_widths = {w.shape[-1] for w in weights[:-1]}
+    assert len(hidden_widths) <= 1, (
+        f"ar_stack_fused needs UNIFORM hidden widths (one shared VMEM "
+        f"scratch); got {[w.shape[-1] for w in weights[:-1]]}")
+    if len(weights) > 1:
+        assert context.shape[-1] == weights[0].shape[-1], (
+            f"context width {context.shape[-1]} != first hidden width "
+            f"{weights[0].shape[-1]} (context is added to hidden conv 0's "
+            "output, tf_train.py IAFLayer parity)")
     taps = tuple(nonzero_taps(m) for m in masks)
     spec = (taps, batch_block,
             compute_dtype if compute_dtype == "bfloat16" else None)

@@ -109,6 +109,12 @@ def train(cfg: Config, max_steps: int | None = None,
     if jax.process_index() == 0:
         from iaf_tpu.core.config import save_hparams
         save_hparams(cfg, cfg.logdir)  # eval/sample runs pick this up as base
+        if cfg.compute_dtype != "float32":
+            # the TPU perf default deviates from the reference's f32 recipe;
+            # reproduction runs must be able to notice (ADVICE r2)
+            print(f"[config] compute_dtype={cfg.compute_dtype} (reference "
+                  "recipe: float32 — pin compute_dtype=float32 to reproduce "
+                  "it exactly)")
 
     # Restore BEFORE building the data iterator so the data order can be
     # fast-forwarded to the resume step (a resumed run must see the batches
@@ -194,64 +200,73 @@ def train(cfg: Config, max_steps: int | None = None,
     prefetch = feed.ChunkPrefetcher(data_iter, mesh, S, total,
                                     start_step=start_step,
                                     first_local=first_local)
-    for n, batches in prefetch:
-        if S > 1:
-            if n == S:
-                fn = chunk_fn
-            else:  # tail chunk: compile once per distinct tail length
-                fn = tail_fns.setdefault(n, ts.make_train_chunk(cfg, mesh, n))
-            state, stacked = fn(state, base_key, np.int32(step), batches)
-            metrics = jax.tree.map(lambda x: x[-1], stacked)
-        else:
-            key = jax.random.fold_in(base_key, step)
-            state, metrics = step_fn(state, key, batches)
-        step += n
-        steps_since += n
-
-        if cfg.fail_after_step and step >= cfg.fail_after_step > step - n:
-            raise RuntimeError(f"fault injection: crash at step {step}")
-
-        # fire when a multiple of the cadence lies in (step-n, step]
-        if step % cfg.log_every < n or step == total:
-            jax.block_until_ready(metrics["loss"])
-            dt = time.time() - t_last
-            sps = steps_since / dt if dt > 0 else 0.0
-            logger.log(step, steps_per_sec=sps,
-                       examples_per_sec=sps * cfg.batch_size, **metrics)
-            if jax.process_index() == 0:
-                if "bits_per_dim" in metrics:
-                    head = f"bits/dim {float(metrics['bits_per_dim']):.4f}"
-                else:
-                    head = f"nll {float(metrics['nll_nats']):.2f} nats"
-                print(f"[train] step {step} loss "
-                      f"{float(metrics['loss']):.2f} {head} {sps:.3f} steps/s")
-            t_last, steps_since = time.time(), 0
-
-        if eval_fn is not None and step % cfg.eval_every < n and step >= cfg.eval_every:
-            nats = eval_fn(state.opt.ema,
-                           jax.random.fold_in(base_key, 2**31 + step),
-                           eval_images)
-            m = float(np.mean(np.asarray(nats)))
-            if cfg.likelihood == "bernoulli":
-                logger.log(step, eval_nll_nats=m)
+    try:
+        for n, batches in prefetch:
+            if S > 1:
+                if n == S:
+                    fn = chunk_fn
+                else:  # tail chunk: compile once per distinct tail length
+                    fn = tail_fns.setdefault(
+                        n, ts.make_train_chunk(cfg, mesh, n))
+                state, stacked = fn(state, base_key, np.int32(step), batches)
+                metrics = jax.tree.map(lambda x: x[-1], stacked)
             else:
-                logger.log(step,
-                           eval_bits_per_dim=m / (LOG2 * cfg.num_pixels))
-            if cfg.image_summaries:
-                # ALL processes enter (multi-host: the EMA tree is a global
-                # array — computations on it must be collective); only
-                # process 0's logger actually writes files
-                _log_image_summaries(cfg, state, base_key, step,
-                                     eval_images, logger)
-            # eval wall time counts against the next steps/s window; the
-            # eval_loop mode is the non-intrusive path
+                key = jax.random.fold_in(base_key, step)
+                state, metrics = step_fn(state, key, batches)
+            step += n
+            steps_since += n
 
-        if (step % cfg.ckpt_every < n and step >= cfg.ckpt_every) \
-                or step == total:
-            ckpt.save(cfg.logdir, step,
-                      state_to_tree(step, state, base_key),
-                      keep=cfg.ckpt_keep)
-    logger.close()
+            if cfg.fail_after_step and step >= cfg.fail_after_step > step - n:
+                raise RuntimeError(f"fault injection: crash at step {step}")
+
+            # fire when a multiple of the cadence lies in (step-n, step]
+            if step % cfg.log_every < n or step == total:
+                jax.block_until_ready(metrics["loss"])
+                dt = time.time() - t_last
+                sps = steps_since / dt if dt > 0 else 0.0
+                logger.log(step, steps_per_sec=sps,
+                           examples_per_sec=sps * cfg.batch_size, **metrics)
+                if jax.process_index() == 0:
+                    if "bits_per_dim" in metrics:
+                        head = ("bits/dim "
+                                f"{float(metrics['bits_per_dim']):.4f}")
+                    else:
+                        head = f"nll {float(metrics['nll_nats']):.2f} nats"
+                    print(f"[train] step {step} loss "
+                          f"{float(metrics['loss']):.2f} {head} "
+                          f"{sps:.3f} steps/s")
+                t_last, steps_since = time.time(), 0
+
+            if (eval_fn is not None and step % cfg.eval_every < n
+                    and step >= cfg.eval_every):
+                nats = eval_fn(state.opt.ema,
+                               jax.random.fold_in(base_key, 2**31 + step),
+                               eval_images)
+                m = float(np.mean(np.asarray(nats)))
+                if cfg.likelihood == "bernoulli":
+                    logger.log(step, eval_nll_nats=m)
+                else:
+                    logger.log(step,
+                               eval_bits_per_dim=m / (LOG2 * cfg.num_pixels))
+                if cfg.image_summaries:
+                    # ALL processes enter (multi-host: the EMA tree is a
+                    # global array — computations on it must be collective);
+                    # only process 0's logger actually writes files
+                    _log_image_summaries(cfg, state, base_key, step,
+                                         eval_images, logger)
+                # eval wall time counts against the next steps/s window; the
+                # eval_loop mode is the non-intrusive path
+
+            if (step % cfg.ckpt_every < n and step >= cfg.ckpt_every) \
+                    or step == total:
+                ckpt.save(cfg.logdir, step,
+                          state_to_tree(step, state, base_key),
+                          keep=cfg.ckpt_keep)
+    finally:
+        # Aborted or not, never strand the prefetch worker blocked on its
+        # bounded queue holding device chunks (ADVICE r2, feed.py).
+        prefetch.close()
+        logger.close()
     return state
 
 
@@ -383,16 +398,22 @@ def eval_loop(cfg: Config, mode: str = "eval_test", poll_secs: float = 30.0,
 
 
 def invert_check(cfg: Config, use_ema: bool = True,
-                 batch: int | None = None) -> dict:
+                 batch: int | None = None, run_exact: bool = True) -> dict:
     """Drive the sequential AR flow inversion on checkpointed weights
     (north-star config c5; SURVEY.md §5.7): forward the topmost posterior
-    flow on real data, invert it with the exact per-position loop AND the
-    blockwise Jacobi loop, and report round-trip errors + wall times.
+    flow on real data, invert it with the exact per-position loop, the
+    worst-case Jacobi loop (iters = D exactness bound), AND the
+    production early-exit fixed-point loop — reporting round-trip errors,
+    wall times, and the MEASURED convergence depth ``iters_fixed_point``
+    (VERDICT r2 next #4: expect iters << D for the 0.1-scaled IAF update).
 
-    Returns {"err_exact", "err_jacobi", "t_exact", "t_jacobi"}.
+    Returns {"err_exact", "err_jacobi", "err_fixed_point", "t_*",
+    "iters_fixed_point", "D"}.
     """
     from iaf_tpu.models.cvae import posterior_flow_probe, iaf_flow
-    from iaf_tpu.models.inversion import invert_ar_exact, invert_ar_jacobi
+    from iaf_tpu.models.inversion import (invert_ar_exact,
+                                          invert_ar_fixed_point,
+                                          invert_ar_jacobi)
 
     maybe_init_distributed()
     latest = ckpt.latest_checkpoint(cfg.logdir)
@@ -410,26 +431,40 @@ def invert_check(cfg: Config, use_ema: bool = True,
         cfg, _probe_flow_ctx(cfg, params), z0, context,
         jax.numpy.zeros_like(z0))
 
-    results = {}
-    for name, fn in [
-        ("exact", lambda: invert_ar_exact(
+    D = z_prime.shape[1] * z_prime.shape[2] * z_prime.shape[3]
+    variants = []
+    if run_exact:
+        variants.append(("exact", lambda: invert_ar_exact(
             ar_fn, z_prime, form=cfg.flow_update,
-            gate_bias=cfg.gate_forget_bias)),
-        ("jacobi", lambda: invert_ar_jacobi(
-            ar_fn, z_prime,
-            iters=z_prime.shape[1] * z_prime.shape[2] * z_prime.shape[3],
-            form=cfg.flow_update, gate_bias=cfg.gate_forget_bias)),
-    ]:
+            gate_bias=cfg.gate_forget_bias)))
+    variants.append(("jacobi", lambda: invert_ar_jacobi(
+        ar_fn, z_prime, iters=D,
+        form=cfg.flow_update, gate_bias=cfg.gate_forget_bias)))
+    variants.append(("fixed_point", lambda: invert_ar_fixed_point(
+        ar_fn, z_prime, tol=1e-6,
+        form=cfg.flow_update, gate_bias=cfg.gate_forget_bias)))
+
+    results: dict = {"D": D}
+    for name, fn in variants:
         t0 = time.time()
-        z_rec = fn()
+        out = fn()
+        if name == "fixed_point":
+            z_rec, iters = out
+            results["iters_fixed_point"] = int(np.asarray(iters))
+        else:
+            z_rec = out
         err = float(np.max(np.abs(np.asarray(z_rec) - np.asarray(z0))))
         results[f"err_{name}"] = err
         results[f"t_{name}"] = time.time() - t0
     if jax.process_index() == 0:
-        print(f"[invert_check] shape {tuple(z_prime.shape)} "
-              f"exact err {results['err_exact']:.2e} "
-              f"({results['t_exact']:.1f}s) | jacobi err "
-              f"{results['err_jacobi']:.2e} ({results['t_jacobi']:.1f}s)")
+        parts = [f"[invert_check] shape {tuple(z_prime.shape)} D={D}"]
+        for name, _ in variants:
+            parts.append(f"{name} err {results[f'err_{name}']:.2e} "
+                         f"({results[f't_{name}']:.1f}s)")
+        parts.append(f"fixed-point converged in "
+                     f"{results['iters_fixed_point']} iters "
+                     f"({results['iters_fixed_point'] / D:.1%} of D)")
+        print(" | ".join(parts))
     return results
 
 

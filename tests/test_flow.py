@@ -8,7 +8,9 @@ import pytest
 
 from iaf_tpu.core.config import Config
 from iaf_tpu.models.cvae import iaf_flow
-from iaf_tpu.models.inversion import invert_ar_exact, invert_ar_jacobi
+from iaf_tpu.models.inversion import (invert_ar_exact,
+                                      invert_ar_fixed_point,
+                                      invert_ar_jacobi)
 from iaf_tpu.nn import layers as L
 from iaf_tpu.nn.layers import Ctx
 
@@ -80,6 +82,30 @@ def test_jacobi_inversion_roundtrip(form):
     z_rec = invert_ar_jacobi(ar_fn, z_prime, iters=D, form=form,
                              gate_bias=cfg.gate_forget_bias)
     np.testing.assert_allclose(np.asarray(z_rec), np.asarray(z0), atol=1e-4)
+
+
+@pytest.mark.parametrize("form", ["division", "gate"])
+def test_fixed_point_inversion_early_exit(form):
+    """The early-exit Jacobi loop must (a) invert to the same tolerance as
+    the exact loop and (b) actually converge in fewer sweeps than the DAG
+    depth bound D — the measured convergence-depth property invert_check
+    reports (VERDICT r2 next #4)."""
+    cfg, fwd, ar_fn = make_flow(form)
+    z0 = jax.random.normal(jax.random.PRNGKey(13), (1, H, W, C))
+    z_prime, _ = fwd(z0)
+    z_rec, iters = invert_ar_fixed_point(ar_fn, z_prime, tol=1e-6, form=form,
+                                         gate_bias=cfg.gate_forget_bias)
+    np.testing.assert_allclose(np.asarray(z_rec), np.asarray(z0), atol=1e-4)
+    iters = int(np.asarray(iters))
+    assert 0 < iters < D, (iters, D)  # early exit really fired
+    # jittable end-to-end (while_loop with dynamic trip count)
+    z_rec2, iters2 = jax.jit(
+        lambda zp: invert_ar_fixed_point(ar_fn, zp, tol=1e-6, form=form,
+                                         gate_bias=cfg.gate_forget_bias)
+    )(z_prime)
+    np.testing.assert_allclose(np.asarray(z_rec2), np.asarray(z0), atol=1e-4)
+    # jit fusion can move the delta across the tol boundary by one sweep
+    assert abs(int(np.asarray(iters2)) - iters) <= 1, (iters2, iters)
 
 
 def test_gate_update_definition():
