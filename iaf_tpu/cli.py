@@ -29,6 +29,9 @@ def main() -> None:
     p.add_argument("--num_gpus", type=int, default=None,
                    help="reference-CLI parity; ignored (mesh uses all chips)")
     p.add_argument("--num_samples", type=int, default=16)
+    p.add_argument("--max_batches", type=int, default=None,
+                   help="cap eval batches (eval_* modes); partial progress "
+                   "of a full eval persists to the logdir either way")
     # --temperature accepts a single value or a comma list for a sweep
     p.add_argument("--temperature", type=str, default="1.0")
     p.add_argument("--profile_dir", type=str, default="",
@@ -68,9 +71,12 @@ def main() -> None:
         if args.mode == "train":
             train_lib.train(cfg)
         elif args.mode in ("eval_train", "eval_test"):
-            train_lib.evaluate(cfg, mode=args.mode)
+            # killed long evals resume mid-split from this file (exact):
+            train_lib.evaluate(
+                cfg, mode=args.mode, max_batches=args.max_batches,
+                progress_path=f"{args.logdir}/eval_progress_{args.mode}.json")
         elif args.mode == "eval_loop":
-            train_lib.eval_loop(cfg)
+            train_lib.eval_loop(cfg, max_batches=args.max_batches)
         elif args.mode == "invert_check":
             train_lib.invert_check(cfg)
         elif args.mode == "recon":

@@ -55,6 +55,60 @@ def test_c2_shallow_iaf_golden(tmp_path):
     assert abs(bpd - 9.8791) / 9.8791 < 0.03, bpd
 
 
+def test_c2_long_horizon_golden(tmp_path):
+    """300-step golden at 1% tolerance (VERDICT r2 next #7: the 30-step
+    goldens at 3% catch structural breaks but not slow numeric drift — a
+    subtly wrong init scale surfaces over hundreds of steps). f32, fixed
+    batch, chunked dispatch (trajectory-identical to unchunked, tested in
+    test_train_lib)."""
+    cfg = Config(dataset="synthetic", image_size=8, channels=3, z_size=2,
+                 h_size=8, depth=1, num_blocks=1, depth_ar=1,
+                 ar_hidden_size=8, kl_min=0.25, learning_rate=0.005,
+                 batch_size=8, total_steps=300, ckpt_every=100000,
+                 log_every=100000, seed=7, compute_dtype="float32",
+                 steps_per_dispatch=25, logdir=str(tmp_path))
+    loss, bpd = _run(cfg, 300)
+    # frozen 2026-08-18 (jax 0.8.x, CPU): loss 1062.5403, bits/dim 7.98154
+    assert np.isfinite(loss)
+    assert abs(loss - 1062.5403) / 1062.5403 < 0.01, loss
+    assert abs(bpd - 7.98154) / 7.98154 < 0.01, bpd
+
+
+def test_mnist_long_horizon_golden(tmp_path):
+    """300-step MNIST-family golden at 1% (dense-MADE IAF, Bernoulli,
+    dynamic binarization) — the Theano-stack counterpart of the c2 long
+    golden."""
+    from iaf_tpu.data import feed
+    from iaf_tpu.data.datasets import synthetic_dataset
+    from iaf_tpu.models import mnist_vae
+    from iaf_tpu.models.mnist_vae import mnist_config
+
+    cfg = mnist_config(image_size=8, z_size=4, h_size=8, ar_hidden_size=16,
+                       depth_ar=1, flow_depth=1, kl_min=0.0,
+                       learning_rate=0.005, batch_size=8, total_steps=300,
+                       ckpt_every=100000, log_every=100000,
+                       dataset="synthetic", channels=1, binarize=True,
+                       seed=7, compute_dtype="float32",
+                       steps_per_dispatch=25, logdir=str(tmp_path))
+    ds = synthetic_dataset(cfg.image_size, cfg.channels, n_train=64,
+                           n_test=32, seed=3)
+
+    def fixed_batch():
+        while True:
+            yield ds.train_x[:cfg.batch_size]
+
+    it = feed.binarized_iterator(fixed_batch(), cfg.seed)
+    state = train_lib.train(cfg, max_steps=300, data_iter=it)
+    xe = feed.dynamic_binarize(ds.test_x[:cfg.batch_size],
+                               feed.binarize_rng(cfg.seed, -1))
+    out = mnist_vae.apply_fn(cfg, state.params, jax.random.PRNGKey(99), xe,
+                             mode="eval", k=1)
+    nll = float(np.mean(np.asarray(out.loss)))
+    # frozen 2026-08-18 (jax 0.8.x, CPU): eval NLL 45.5849 nats
+    assert np.isfinite(nll)
+    assert abs(nll - 45.5849) / 45.5849 < 0.01, nll
+
+
 def test_bf16_compute_tracks_f32(tmp_path):
     """bf16 conv compute (params and elementwise numerics stay f32) must
     track the f32 training trajectory within tolerance on the shallow-IAF

@@ -278,6 +278,41 @@ def test_fused_optimizer_kernel_under_sharded_jit(monkeypatch):
                                rtol=1e-6, atol=1e-6)
 
 
+def test_fused_optimizer_trajectory_bit_exact(monkeypatch):
+    """VERDICT r2 next #7: the fused-optimizer bit-exactness claim (PARITY
+    "Pallas verdict": 'trajectory bit-exact vs the XLA update on real TPU')
+    as a regression test, interpret mode: a 10-step trajectory with
+    kernels=pallas_opt must be BIT-IDENTICAL — params, m, u, ema, and every
+    logged loss — to kernels=xla. The kernel claims to reschedule memory
+    traffic only; any arithmetic reassociation shows up here."""
+    import iaf_tpu.optim as _optim
+    monkeypatch.setattr(_optim, "FUSED_MIN_SIZE", 0)  # tiny tree: force it
+    finals = {}
+    for name, kernels in (("xla", "xla"), ("pallas", "pallas_opt")):
+        cfg = tiny_cfg(batch_size=8, kernels=kernels)
+        x = fake_batch(cfg, 8)
+        mesh = make_mesh(cfg)
+        params = cvae.init_params(cfg, jax.random.PRNGKey(0), x)
+        import iaf_tpu.optim as optim
+        state = ts.TrainState(params, optim.init_state(params))
+        state = ts.place_state(state, mesh)
+        step_fn = ts.make_train_step(cfg, mesh)
+        xs = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P("data")))
+        losses = []
+        for i in range(10):
+            state, m = step_fn(state, jax.random.PRNGKey(7 + i), xs)
+            losses.append(np.asarray(m["loss"]).tobytes())
+        finals[name] = (state, losses)
+    st_x, losses_x = finals["xla"]
+    st_p, losses_p = finals["pallas"]
+    assert losses_x == losses_p  # bytes, not allclose
+    for a, b in zip(jax.tree.leaves((st_x.params, st_x.opt.m, st_x.opt.u,
+                                     st_x.opt.ema)),
+                    jax.tree.leaves((st_p.params, st_p.opt.m, st_p.opt.u,
+                                     st_p.opt.ema))):
+        assert np.asarray(a).tobytes() == np.asarray(b).tobytes()
+
+
 def test_distributed_iw_bound_matches_logsumexp():
     """The non-streamed distributed-logsumexp building block (eval_step.
     distributed_iw_bound — the make_eval_step scan combines (max, sumexp)

@@ -53,6 +53,53 @@ def test_train_mnist_family(tmp_path):
     assert np.isfinite(nll)
 
 
+def test_eval_tail_batch_and_killed_resume(tmp_path):
+    """Long-eval hardening (VERDICT r2 next #5): (a) the split's tail
+    remainder is evaluated instead of dropped; (b) an interrupted eval
+    resumed from its persisted partial sums produces EXACTLY the same
+    result as an uninterrupted one; (c) the progress file is deleted on a
+    completed full pass and ignored when its identity mismatches."""
+    import os
+    from iaf_tpu.parallel.mesh import make_mesh
+
+    cfg = Config(dataset="synthetic", image_size=8, channels=3, z_size=2,
+                 h_size=8, depth=1, num_blocks=1, depth_ar=1,
+                 ar_hidden_size=8, kl_min=0.0, learning_rate=0.005,
+                 batch_size=8, total_steps=6, ckpt_every=6, log_every=6,
+                 eval_batch_size=4, eval_k=8, logdir=str(tmp_path))
+    train_lib.train(cfg, data_iter=synthetic_iter(8, 8, 3))
+    mesh = make_mesh(cfg)
+    images, eval_fn = train_lib.make_eval_setup(cfg, "eval_test", 8, mesh)
+
+    # (a) 11 images at bs=4 = 2 full batches + tail of 3
+    setup = (images[:11], eval_fn)
+    full = train_lib.evaluate(cfg, k=8, setup=setup)
+    again = train_lib.evaluate(cfg, k=8, setup=setup)
+    assert full == again  # deterministic per-batch keys
+    no_tail = train_lib.evaluate(cfg, k=8, setup=(images[:8], eval_fn))
+    assert full != no_tail  # the 3 tail examples really count
+
+    # (b) interrupt after 1 of 2 full batches, then resume to completion
+    prog = str(tmp_path / "eval_prog.json")
+    train_lib.evaluate(cfg, k=8, setup=setup, max_batches=1,
+                       progress_path=prog, progress_every=1,
+                       progress_id="ckpt-x")
+    assert os.path.isfile(prog)
+    resumed = train_lib.evaluate(cfg, k=8, setup=setup, progress_path=prog,
+                                 progress_every=1, progress_id="ckpt-x")
+    assert resumed == full
+    assert not os.path.isfile(prog)  # (c) deleted when the full pass ends
+
+    # (c) a progress file from different settings must be ignored
+    train_lib.evaluate(cfg, k=8, setup=setup, max_batches=1,
+                       progress_path=prog, progress_every=1,
+                       progress_id="ckpt-OTHER")
+    mismatched = train_lib.evaluate(cfg, k=8, setup=setup,
+                                    progress_path=prog, progress_every=1,
+                                    progress_id="ckpt-x")
+    assert mismatched == full
+
+
 def test_eval_loop_polls_checkpoints(tmp_path):
     cfg = Config(dataset="synthetic", image_size=8, channels=3, z_size=2,
                  h_size=8, depth=1, num_blocks=1, depth_ar=1,
