@@ -381,6 +381,18 @@ def evaluate(cfg: Config, mode: str = "eval_test", params=None,
                       f"from {progress_path}")
         elif jax.process_index() == 0:
             print(f"[{mode}] ignoring stale eval progress {progress_path}")
+    if progress_path and jax.process_count() > 1:
+        # Only process 0 WRITES the progress file; on a non-shared
+        # filesystem the others may not see it. All processes must agree on
+        # the resume point or the collective eval calls desync — broadcast
+        # process 0's view (same every-host-replicated discipline as
+        # checkpoint restore).
+        from jax.experimental import multihost_utils
+        start_i, total_nats, total_n = [
+            t.item() for t in multihost_utils.broadcast_one_to_all(
+                (np.int64(start_i), np.float64(total_nats),
+                 np.int64(total_n)))]
+        start_i, total_n = int(start_i), int(total_n)
 
     def _save_progress(i: int) -> None:
         if not progress_path or jax.process_index() != 0:

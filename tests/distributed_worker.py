@@ -47,6 +47,17 @@ def main() -> None:
     # evaluate: replicated-batch make_array_from_process_local_data branch
     bpd = train_lib.evaluate(cfg, k=8, max_batches=2)
     assert bpd == bpd and bpd < 1e4, bpd  # finite sanity
+
+    # eval progress-resume under a REAL process group: only process 0 has
+    # written the progress file (shared tmpdir here, but the broadcast path
+    # must agree either way); interrupted-then-resumed must equal one pass
+    prog = os.path.join(logdir, "eval_prog_test.json")
+    full = train_lib.evaluate(cfg, k=8, max_batches=4)
+    train_lib.evaluate(cfg, k=8, max_batches=2, progress_path=prog,
+                       progress_every=1, progress_id="t")
+    resumed = train_lib.evaluate(cfg, k=8, max_batches=4, progress_path=prog,
+                                 progress_every=1, progress_id="t")
+    assert resumed == full, (resumed, full)
     print(f"DISTRIBUTED_OK pid={pid} bits_per_dim={bpd:.4f}", flush=True)
 
 
