@@ -600,9 +600,19 @@ def sample(cfg: Config, num: int = 16, temperature: float | list[float] = 1.0,
 
     ``temperature`` may be a list for a sweep (BASELINE config c5): each T
     reuses the same base noise key, so the sweep isolates the temperature
-    effect; tiles are written side by side as ``<out>_T<temp>.npy``."""
+    effect; tiles are written side by side as ``<out>_T<temp>.npy``.
+
+    SHARDED over the mesh's data axis: the sample batch is padded to a
+    multiple of the axis size and each device decodes its slice. Values are
+    bit-identical to unsharded sampling (threefry is counter-based and
+    partitionable; every stochastic site keys on its name path + batch
+    position), so a pod generates N-fold faster with the same images
+    (tested on the virtual mesh). Temperature is a traced argument — one
+    compile serves the whole sweep."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    maybe_init_distributed()
     mesh = make_mesh(cfg)
-    del mesh  # sampling is replicated; kept for future sharded sampling
     latest = ckpt.latest_checkpoint(cfg.logdir)
     if latest is None:
         raise FileNotFoundError(f"no checkpoint in {cfg.logdir}")
@@ -611,15 +621,24 @@ def sample(cfg: Config, num: int = 16, temperature: float | list[float] = 1.0,
     key = jax.random.PRNGKey(cfg.seed + 4242)
     temps = temperature if isinstance(temperature, (list, tuple)) else [temperature]
     from iaf_tpu.utils.metrics import img_tile
+
+    n_sh = mesh.shape["data"]
+    num_pad = ((num + n_sh - 1) // n_sh) * n_sh
+    if cfg.likelihood == "bernoulli":
+        from iaf_tpu.models import mnist_vae
+        fn = lambda p, k, t: mnist_vae.sample(cfg, p, k, num_pad, t)  # noqa: E731
+    else:
+        fn = lambda p, k, t: cvae.cvae_sample(cfg, p, k, num_pad, t)  # noqa: E731
+    spec = P(*(("data",) + (None,) * 3))
+    sampler = jax.jit(fn, out_shardings=NamedSharding(mesh, spec))
+
     last = None
     for t in temps:
-        if cfg.likelihood == "bernoulli":
-            from iaf_tpu.models import mnist_vae
-            imgs = np.asarray(mnist_vae.sample(cfg, params, key, num,
-                                               float(t))).astype(np.uint8)
-        else:
-            imgs = np.asarray(cvae.cvae_sample(cfg, params, key, num,
-                                               float(t))).astype(np.uint8)
+        out = sampler(params, key, jax.numpy.float32(t))
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            out = multihost_utils.process_allgather(out, tiled=True)
+        imgs = np.asarray(out)[:num].astype(np.uint8)
         if out_path and jax.process_index() == 0:
             path = (out_path if len(temps) == 1 else
                     out_path.replace(".npy", "") + f"_T{t}.npy")

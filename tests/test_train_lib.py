@@ -53,6 +53,32 @@ def test_train_mnist_family(tmp_path):
     assert np.isfinite(nll)
 
 
+def test_sample_sharded_matches_unsharded(tmp_path):
+    """train_lib.sample shards the sample batch over the mesh data axis
+    (8 virtual devices here) — the images must be BIT-identical to a
+    direct unsharded model call with the same key (threefry partitionable;
+    per-site name-path keys), with padding to the axis size sliced off."""
+    import jax
+    from iaf_tpu.core import checkpoint as ckpt
+    from iaf_tpu.models import cvae
+
+    cfg = Config(dataset="synthetic", image_size=8, channels=3, z_size=2,
+                 h_size=8, depth=1, num_blocks=1, depth_ar=1,
+                 ar_hidden_size=8, kl_min=0.0, learning_rate=0.005,
+                 batch_size=8, total_steps=6, ckpt_every=6, log_every=6,
+                 logdir=str(tmp_path))
+    train_lib.train(cfg, data_iter=synthetic_iter(8, 8, 3))
+
+    imgs = train_lib.sample(cfg, num=5, temperature=0.7)  # pads 5 -> 8
+    assert imgs.shape[0] == 5
+
+    tree = ckpt.restore(ckpt.latest_checkpoint(cfg.logdir))
+    key = jax.random.PRNGKey(cfg.seed + 4242)
+    direct = np.asarray(cvae.cvae_sample(cfg, tree["opt"]["ema"], key, 8,
+                                         0.7))[:5].astype(np.uint8)
+    np.testing.assert_array_equal(imgs, direct)
+
+
 def test_eval_tail_batch_and_killed_resume(tmp_path):
     """Long-eval hardening (VERDICT r2 next #5): (a) the split's tail
     remainder is evaluated instead of dropped; (b) an interrupted eval
