@@ -471,7 +471,10 @@ def eval_loop(cfg: Config, mode: str = "eval_test", poll_secs: float = 30.0,
         path, tree = item
         step = int(np.asarray(tree["step"]))
         metric = evaluate(cfg, mode=mode, params=tree["opt"]["ema"], k=k,
-                          max_batches=max_batches, setup=setup)
+                          max_batches=max_batches, setup=setup,
+                          progress_path=os.path.join(
+                              cfg.logdir, f"eval_progress_{mode}.json"),
+                          progress_id=os.path.basename(path) + "/ema")
         logger.log(step, **{("nll_nats" if cfg.likelihood == "bernoulli"
                              else "bits_per_dim"): metric})
         if jax.process_index() == 0:
