@@ -200,7 +200,8 @@ class Config:
     def __post_init__(self):
         # The kernel switch feeds A/B methodology (_AUTO_WINS admission);
         # a typo silently measuring XLA-vs-XLA must be impossible.
-        legal = ("auto", "pallas", "xla", "pallas_ar", "pallas_opt")
+        legal = ("auto", "pallas", "xla", "pallas_ar", "pallas_opt",
+                 "pallas_elem")
         if self.kernels not in legal:
             raise ValueError(f"kernels={self.kernels!r} not in {legal}")
         # The conv AR path adds the h_size-wide context (up_context +

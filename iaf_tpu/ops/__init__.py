@@ -59,6 +59,8 @@ def use_pallas(kernels: str, op: str = "elementwise") -> bool:
         return op == "ar_stack"
     if kernels == "pallas_opt":  # isolate the fused optimizer kernel
         return op == "optimizer"
+    if kernels == "pallas_elem":  # isolate the fused elementwise kernels
+        return op == "elementwise"  # (disc_logistic likelihood)
     if kernels == "auto":
         return op in _AUTO_WINS and jax.default_backend() == "tpu"
     return False

@@ -37,6 +37,8 @@ def test_use_pallas_switch():
     assert use_pallas("pallas_ar", "conv") is False
     assert use_pallas("pallas_opt", "optimizer") is True
     assert use_pallas("pallas_opt", "conv") is False
+    assert use_pallas("pallas_elem", "elementwise") is True
+    assert use_pallas("pallas_elem", "optimizer") is False
 
 
 @pytest.mark.parametrize("shape,cout,k", [((2, 8, 8, 4), 8, 3),

@@ -38,6 +38,10 @@ VARIANTS = {
     "merge_heads": ",merge_ar_heads=true",
     "merge_heads_bf16": ",merge_ar_heads=true,compute_dtype=bfloat16",
     "pallas": ",kernels=pallas",
+    # fused disc-logistic elementwise kernel only (NOTE: kernels=pallas_elem
+    # disables the fused optimizer that base has on TPU, so A/B it against
+    # xla_opt, not base, to isolate the likelihood kernel)
+    "pallas_elem": ",kernels=pallas_elem",
     "pallas_ar": ",kernels=pallas_ar",  # fused AR-stack kernel only
     "pallas_opt": ",kernels=pallas_opt",  # fused Adamax+Polyak kernel only
     # batch 64 at fixed examples/s: reported steps/s must be doubled to
