@@ -116,6 +116,12 @@ def build(extra: str, program: str):
 
 VARIANTS = [
     ("full", "", "train"),
+    # full step with the XLA optimizer (removes the fused-kernel win): the
+    # spread full_xla_opt - full is the fused-optimizer saving, and
+    # full - no_opt is the REMAINING optimizer tail under defaults —
+    # together they bound how far the update sits from its one-HBM-pass
+    # roofline (VERDICT r2 next #2).
+    ("full_xla_opt", ",kernels=xla", "train"),
     ("no_opt", "", "grads"),
     ("fwd", "", "fwd"),
     # AR-conv ablation: dense per-position MADE heads replace the masked
@@ -165,6 +171,9 @@ def main() -> None:
         print(f"optimizer+EMA:      {best['full'] - best['no_opt']:+.2f} ms")
         print(f"backward:           {best['no_opt'] - best['fwd']:+.2f} ms")
         print(f"forward:            {best['fwd']:.2f} ms")
+    if "full_xla_opt" in best and "full" in best:
+        print(f"fused-opt saving:   "
+              f"{best['full_xla_opt'] - best['full']:+.2f} ms")
     if "no_ar" in best and "full" in best:
         print(f"AR convs (fwd+bwd): {best['full'] - best['no_ar']:+.2f} ms")
     if "diag" in best and "no_ar" in best:
