@@ -74,20 +74,37 @@ def emit_once() -> None:
         sys.stdout.flush()
 
 
+# The probe must REJECT a CPU fallback: if the TPU plugin errors fast
+# instead of hanging, jax silently falls back to CpuDevice, and a "success"
+# here would record a CPU-measured number as the TPU headline artifact.
+PROBE_SRC = """
+import sys
+import jax
+ds = jax.devices()
+print(ds)
+sys.exit(0 if ds and all('cpu' not in str(d).lower() for d in ds) else 3)
+"""
+
+
 def probe_backend(attempts: int = 3, probe_timeout: float = 240.0,
                   retry_sleep: float = 60.0) -> str | None:
     """Bounded, killable backend probe (see module docstring). Returns the
-    device list string on success, None after ``attempts`` failures."""
+    device list string on success (a real accelerator, never a CPU
+    fallback), None after ``attempts`` failures."""
     for a in range(attempts):
         last = "unknown"
         try:
             out = subprocess.run(
-                [sys.executable, "-c", "import jax; print(jax.devices())"],
+                [sys.executable, "-c", PROBE_SRC],
                 capture_output=True, text=True, timeout=probe_timeout)
             if out.returncode == 0 and out.stdout.strip():
                 return out.stdout.strip().splitlines()[-1]
-            lines = (out.stderr or "").strip().splitlines()
-            last = lines[-1] if lines else f"rc={out.returncode}"
+            if out.returncode == 3:
+                last = ("backend fell back to CPU devices "
+                        f"({out.stdout.strip()}) — not a TPU")
+            else:
+                lines = (out.stderr or "").strip().splitlines()
+                last = lines[-1] if lines else f"rc={out.returncode}"
         except subprocess.TimeoutExpired:
             last = f"jax.devices() gave no response in {probe_timeout:.0f}s"
         except Exception as e:  # pragma: no cover - defensive
@@ -118,10 +135,10 @@ def start_watchdog(secs: float) -> threading.Timer:
     return t
 
 
-def _measure_chunked(ts, cfg, mesh, x, S: int, chunks: int, seed0: int):
-    """Compile + warm a S-step train chunk at cfg.batch_size, then time
-    ``chunks`` dispatches (value-fetch ended). Returns
-    (best_steps_per_sec, init_compile_s, all_rates, final_state)."""
+def _build_chunk_timer(ts, cfg, mesh, x, S: int, seed0: int):
+    """Compile + warm an S-step train chunk at cfg.batch_size. Returns
+    (run_once() -> steps/s for one value-fetch-ended window,
+    init_compile_s, state_holder)."""
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -134,24 +151,20 @@ def _measure_chunked(ts, cfg, mesh, x, S: int, chunks: int, seed0: int):
     state, metrics = chunk(state, jax.random.PRNGKey(1), np.int32(0), xs)
     _ = float(np.asarray(metrics["loss"])[-1])  # full execution barrier
     init_compile_s = time.time() - t0
+    holder = {"state": state, "i": 0}
 
-    # The tunneled TPU is SHARED: other tenants swing its effective speed
-    # >10x (observed 29 and 530 ms/step for the identical program an hour
-    # apart). Each chunk is therefore timed separately and the BEST
-    # (least-contended) window is the headline number — the only defensible
-    # estimator of the hardware's speed under external load; the mean is
-    # printed alongside for transparency.
-    state, metrics = chunk(state, jax.random.PRNGKey(2), np.int32(S), xs)
-    _ = float(np.asarray(metrics["loss"])[-1])
-    rates = []
-    for i in range(chunks):
+    def run_once() -> float:
         t0 = time.time()
-        state, metrics = chunk(state, jax.random.PRNGKey(seed0 + i),
-                               np.int32((2 + i) * S), xs)
+        holder["state"], metrics = chunk(
+            holder["state"], jax.random.PRNGKey(seed0 + holder["i"]),
+            np.int32((1 + holder["i"]) * S), xs)
         loss = float(np.asarray(metrics["loss"])[-1])
-        rates.append(S / (time.time() - t0))
-    assert np.isfinite(loss)
-    return max(rates), init_compile_s, rates, state
+        assert np.isfinite(loss)
+        holder["i"] += 1
+        return S / (time.time() - t0)
+
+    run_once()  # warmup window (discarded)
+    return run_once, init_compile_s, holder
 
 
 def main() -> None:
@@ -183,68 +196,103 @@ def main() -> None:
                            n_train=256 * 2, n_test=64, seed=0)
     x = ds.train_x[: cfg.batch_size]
 
+    # The tunneled TPU is SHARED: other tenants swing its effective speed
+    # >10x (observed 29 and 530 ms/step for the identical program an hour
+    # apart). Windows are timed separately and the BEST (least-contended)
+    # one is the headline; the b32 and b256 programs are INTERLEAVED round
+    # by round so the two operating points see comparable tenancy
+    # (sequential blocks would not — the repo's own A/B methodology).
     S = 25
-    steps_per_sec, init_compile_s, rates, state = _measure_chunked(
-        ts, cfg, mesh, x, S, chunks=6, seed0=100)
+    run32, init_compile_s, holder32 = _build_chunk_timer(ts, cfg, mesh, x, S,
+                                                         seed0=100)
     print(f"[bench] init+compile {init_compile_s:.1f}s", file=sys.stderr)
+
+    # Secondary (VERDICT r2 next #3): the throughput-optimal operating
+    # point — per-chip batch 256, the measured 1.56x examples/s lever
+    # (PARITY.md batch sweep). Parity keeps batch 32 (lr is tuned to it);
+    # this records the lever machine-readably every round.
+    run256 = None
+    try:
+        cfg256 = cfg.replace(batch_size=256)
+        x256 = ds.train_x[: cfg256.batch_size]
+        assert len(x256) == 256, "synthetic set must be >= batch (r2 trap)"
+        run256, compile256, _ = _build_chunk_timer(ts, cfg256, mesh, x256,
+                                                   S=10, seed0=500)
+        print(f"[bench] b256 compile {compile256:.1f}s", file=sys.stderr)
+    except Exception as e:  # never let the secondary kill the headline
+        print(f"[bench] b256 bench skipped: {e}", file=sys.stderr)
+
+    rates, rates256 = [], []
+    for _ in range(6):
+        rates.append(run32())
+        if run256 is not None:
+            try:
+                rates256.append(run256())
+            except Exception as e:
+                print(f"[bench] b256 window failed: {e}", file=sys.stderr)
+                run256 = None
+    steps_per_sec = max(rates)
     print(f"[bench] {steps_per_sec:.3f} train steps/s best-of-{len(rates)} "
           f"(mean {np.mean(rates):.3f}, all {[round(r, 1) for r in rates]}), "
           f"({steps_per_sec * cfg.batch_size:.1f} examples/s) "
           f"[{S}-step scan chunks, value-fetch timed]", file=sys.stderr)
 
-    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "bench_baseline.json")
-    if os.path.isfile(base_path):
-        with open(base_path) as f:
-            base = json.load(f)["value"]
-    else:
-        with open(base_path, "w") as f:
-            json.dump({"metric": "elbo_train_steps_per_sec",
-                       "value": steps_per_sec,
-                       "note": "first honest (value-fetch-timed) run"}, f)
-        base = steps_per_sec
-
-    # machine-checkable perf context (VERDICT round-1 item #10): % of chip
-    # peak from the analytic roofline, and the init+compile wall time
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from tools.roofline import V5E_PEAK_TFLOPS, train_step_flops
-    tflops = train_step_flops(cfg)["flops_step"] * steps_per_sec / 1e12
+    # The headline lands in RESULT IMMEDIATELY (before any file IO or
+    # import that could fail) so the watchdog/crash paths report a
+    # measured number, never convert one into a skip record.
     RESULT.update({
         "value": round(steps_per_sec, 4),
-        "vs_baseline": round(steps_per_sec / base, 4),
-        "achieved_tflops": round(tflops, 1),
-        "pct_of_v5e_bf16_peak": round(100 * tflops / V5E_PEAK_TFLOPS, 1),
-        "init_compile_s": round(init_compile_s, 1),
         "examples_per_sec_b32": round(steps_per_sec * cfg.batch_size, 1),
+        "init_compile_s": round(init_compile_s, 1),
     })
+    if rates256:
+        b256 = max(rates256) * 256
+        RESULT["examples_per_sec_b256"] = round(b256, 1)
+        print(f"[bench] b256: {b256:.0f} examples/s best-of-{len(rates256)} "
+              f"(all {[round(r * 256) for r in rates256]}) "
+              f"[interleaved with b32 windows]", file=sys.stderr)
 
-    # Secondary 1 (VERDICT r2 next #3): the throughput-optimal operating
-    # point — per-chip batch 256, the measured 1.56x examples/s lever
-    # (PARITY.md batch sweep). Parity keeps batch 32 (lr is tuned to it);
-    # this records the lever machine-readably every round.
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_baseline.json")
     try:
-        cfg256 = cfg.replace(batch_size=256)
-        x256 = ds.train_x[: cfg256.batch_size]
-        assert len(x256) == 256, "synthetic set must be >= batch (r2 trap)"
-        sps256, compile256, rates256, _ = _measure_chunked(
-            ts, cfg256, mesh, x256, S=10, chunks=4, seed0=500)
-        RESULT["examples_per_sec_b256"] = round(sps256 * 256, 1)
-        print(f"[bench] b256: {sps256 * 256:.0f} examples/s best-of-4 "
-              f"(all {[round(r * 256) for r in rates256]}; "
-              f"compile {compile256:.1f}s)", file=sys.stderr)
-    except Exception as e:  # never let a secondary kill the headline
-        print(f"[bench] b256 bench skipped: {e}", file=sys.stderr)
+        if os.path.isfile(base_path):
+            with open(base_path) as f:
+                base = json.load(f)["value"]
+        else:
+            with open(base_path, "w") as f:
+                json.dump({"metric": "elbo_train_steps_per_sec",
+                           "value": steps_per_sec,
+                           "note": "first honest (value-fetch-timed) run"},
+                          f)
+            base = steps_per_sec
+        RESULT["vs_baseline"] = round(steps_per_sec / base, 4)
+    except Exception as e:
+        print(f"[bench] baseline io failed: {e}", file=sys.stderr)
+
+    # machine-checkable perf context (VERDICT round-1 item #10): % of chip
+    # peak from the analytic roofline
+    try:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from tools.roofline import V5E_PEAK_TFLOPS, train_step_flops
+        tflops = train_step_flops(cfg)["flops_step"] * steps_per_sec / 1e12
+        RESULT.update({
+            "achieved_tflops": round(tflops, 1),
+            "pct_of_v5e_bf16_peak": round(100 * tflops / V5E_PEAK_TFLOPS, 1),
+        })
+    except Exception as e:
+        print(f"[bench] roofline context failed: {e}", file=sys.stderr)
 
     # Secondary 2: sharded IW eval samples/sec
     try:
         k = 64 * mesh.shape["data"]
         eval_fn = ev.make_eval_step(cfg, mesh, k=k)
         xe = ds.test_x[:8]
-        nats = eval_fn(state.opt.ema, jax.random.PRNGKey(7), xe)
+        ema = holder32["state"].opt.ema
+        nats = eval_fn(ema, jax.random.PRNGKey(7), xe)
         _ = float(np.asarray(nats)[0])
         t0 = time.time()
         for i in range(5):
-            nats = eval_fn(state.opt.ema, jax.random.PRNGKey(8 + i), xe)
+            nats = eval_fn(ema, jax.random.PRNGKey(8 + i), xe)
         _ = float(np.asarray(nats)[0])
         ev_sps = 5 * 8 * k / (time.time() - t0)
         RESULT["iw_samples_per_sec"] = round(ev_sps)

@@ -352,6 +352,13 @@ def evaluate(cfg: Config, mode: str = "eval_test", params=None,
         if progress_id is None:
             progress_id = os.path.basename(latest) + ("/ema" if use_ema
                                                       else "/raw")
+    elif progress_path and progress_id is None:
+        # A progress file must be tied to ONE weight set; with
+        # caller-supplied params there is no checkpoint name to derive it
+        # from, and a constant default would silently mix partial sums
+        # computed under different weights across calls.
+        raise ValueError("progress_path with caller-supplied params "
+                         "requires an explicit progress_id")
 
     if setup is None:
         setup = make_eval_setup(cfg, mode, k, mesh)
@@ -362,8 +369,15 @@ def evaluate(cfg: Config, mode: str = "eval_test", params=None,
     n_full = len(images) // bs
     tail = len(images) - n_full * bs
     n_batches = n_full
-    if max_batches is not None and max_batches < n_full:
-        n_batches, tail = max_batches, 0  # truncated run: no tail
+    if max_batches is not None:
+        # max_batches caps TOTAL evaluated batches, the tail counting as
+        # one: only a cap strictly beyond the full batches reaches it
+        n_batches = min(n_full, max_batches)
+        if max_batches <= n_full:
+            tail = 0
+    # completed the whole split -> the progress file can be deleted
+    full_pass = (n_batches == n_full
+                 and tail == len(images) - n_full * bs)
     # identity of this eval: resuming under ANY other setting must restart
     identity = {"mode": mode, "k": k, "bs": bs, "n": int(len(images)),
                 "seed": cfg.seed, "id": progress_id or "external-params"}
@@ -431,7 +445,7 @@ def evaluate(cfg: Config, mode: str = "eval_test", params=None,
         total_nats += float(np.sum(np.asarray(nats)[:tail]))
         total_n += tail
     if progress_path and os.path.isfile(progress_path) \
-            and max_batches is None and jax.process_index() == 0:
+            and full_pass and jax.process_index() == 0:
         os.remove(progress_path)  # completed full pass
     nats_mean = total_nats / max(total_n, 1)
     if cfg.likelihood == "bernoulli":

@@ -51,8 +51,6 @@ def hlo_stats(text: str) -> dict:
 
 
 def analyze(name: str, jfn, args, out: dict) -> None:
-    import numpy as np
-
     lowered = jfn.lower(*args)
     compiled = lowered.compile()
     rec: dict = {}
@@ -89,7 +87,6 @@ def analyze(name: str, jfn, args, out: dict) -> None:
               for k, v in rec.items()}
     print(f"[hlo] {name} (GF/GB where applicable): {pretty}",
           file=sys.stderr)
-    del np
 
 
 def main() -> None:

@@ -18,14 +18,20 @@ stamp() { date '+%H:%M:%S'; }
 log() { echo "[$(stamp)] $*"; }
 
 # ---- 0. wait for the tunnel (bounded probes, up to ~12 h) ----------------
+# The probe REJECTS a CPU fallback (exit 3): if the TPU plugin errors fast,
+# jax silently gives CpuDevice and the whole agenda (incl. the 100k soak)
+# would burn hours measuring the host CPU as if it were the chip.
+PROBE='import sys, jax
+ds = jax.devices()
+print(ds)
+sys.exit(0 if ds and all("cpu" not in str(d).lower() for d in ds) else 3)'
 log "waiting for TPU tunnel"
 for i in $(seq 1 144); do
-    if timeout 150 python -c "import jax; print(jax.devices())" \
-            > /tmp/r3_probe.out 2>/dev/null; then
+    if timeout 150 python -c "$PROBE" > /tmp/r3_probe.out 2>/dev/null; then
         log "tunnel UP: $(cat /tmp/r3_probe.out)"
         break
     fi
-    log "probe $i failed; sleeping 300s"
+    log "probe $i failed (down or cpu-fallback); sleeping 300s"
     sleep 300
     if [ "$i" = 144 ]; then log "tunnel never came back; giving up"; exit 1; fi
 done
