@@ -58,8 +58,18 @@ timeout 3600 python train.py --logdir /tmp/iaf_invert_r3 \
     --mode invert_check > artifacts/invert_check_r3.txt 2>&1
 log "invert_check done"; grep invert_check artifacts/invert_check_r3.txt || true
 
-# ---- 4. 100k-step soak under full defaults (VERDICT next #8) ---------------
-log "STEP 4: 100k-step soak"
+# ---- 4. isolated fused-likelihood-kernel A/B (VERDICT next #2) -------------
+# kernels=pallas_elem runs ONLY the fused disc-logistic kernel (it disables
+# the fused optimizer that base has on TPU), so the honest comparison is
+# pallas_elem vs xla_opt; base rides along to re-verify the optimizer win
+# under round-3 code. Interleaved rounds, best-of-N (shared-TPU method).
+log "STEP 4: pallas_elem A/B (fused disc-logistic isolation)"
+timeout 5400 python tools/ab_bench.py 4 base xla_opt pallas_elem \
+    > artifacts/ab_pallas_elem_r3.txt 2> artifacts/ab_pallas_elem_r3.log
+log "ab done: $(cat artifacts/ab_pallas_elem_r3.txt)"
+
+# ---- 5. 100k-step soak under full defaults (VERDICT next #8) ---------------
+log "STEP 5: 100k-step soak"
 SOAK="depth=1,num_blocks=20,kl_min=0.25,learning_rate=0.002,batch_size=32,z_size=32,h_size=160,depth_ar=2,dataset=synthetic,total_steps=100000,ckpt_every=20000,log_every=500,steps_per_dispatch=25,eval_every=5000,eval_batch_size=16,eval_k=64"
 rm -rf /tmp/soak100k_r3
 timeout 14400 python train.py --logdir /tmp/soak100k_r3 --hpconfig "$SOAK" \
