@@ -72,3 +72,18 @@ def test_trace_capture_contains_named_scopes(tmp_path):
     # into the trace so xprof attribution works (SURVEY §5.1).
     for scope in (b"iaf_up", b"iaf_down", b"ar_stack", b"adamax"):
         assert data.count(scope) > 0, f"scope {scope!r} missing from trace"
+
+    # The dependency-free summarizer must turn the trace into a non-empty
+    # attribution table (tools/xplane_summary.py — the xprof substitute on
+    # rigs without tensorflow).
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    from xplane_summary import parse_xspace
+    planes = parse_xspace(pbs[0])
+    assert planes, "no planes parsed"
+    n_events = 0
+    for lines, meta in planes.values():
+        for s in lines:
+            n_events += len(s.events)
+            for mid, self_ps in s.self_ps.items():
+                assert 0 <= self_ps <= s.total_ps[mid]
+    assert n_events > 100, f"suspiciously few events parsed: {n_events}"

@@ -1,0 +1,77 @@
+"""tools/xplane_summary.py — dependency-free xplane.pb parsing.
+
+The wire-format walker is tested against a hand-encoded XSpace protobuf
+(exact expected values, including nested self-time attribution); the
+real-trace integration lives in test_profiler_trace.py.
+"""
+
+import io
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tools"))
+
+from xplane_summary import parse_xspace, summarize  # noqa: E402
+
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _field(num: int, wt: int, payload: bytes) -> bytes:
+    key = _varint((num << 3) | wt)
+    if wt == 2:
+        return key + _varint(len(payload)) + payload
+    return key + payload
+
+
+def _msg(num: int, payload: bytes) -> bytes:
+    return _field(num, 2, payload)
+
+
+def _build_space() -> bytes:
+    # XEventMetadata {id=1, name=2}
+    meta1 = _field(1, 0, _varint(7)) + _field(2, 2, b"matmul")
+    meta2 = _field(1, 0, _varint(8)) + _field(2, 2, b"relu")
+    # map entries {key=1, value=2}
+    me1 = _field(1, 0, _varint(7)) + _msg(2, meta1)
+    me2 = _field(1, 0, _varint(8)) + _msg(2, meta2)
+
+    def event(mid, off, dur):
+        return (_field(1, 0, _varint(mid)) + _field(2, 0, _varint(off))
+                + _field(3, 0, _varint(dur)))
+
+    # matmul [0, 100) with a nested relu [10, 40): matmul self = 70
+    line = (_field(1, 0, _varint(1)) + _field(2, 2, b"XLA Ops")
+            + _msg(4, event(7, 0, 100)) + _msg(4, event(8, 10, 30)))
+    plane = (_field(2, 2, b"/device:TPU:0") + _msg(3, line)
+             + _msg(4, me1) + _msg(4, me2))
+    return _msg(1, plane)
+
+
+def test_parse_hand_encoded_xspace(tmp_path):
+    p = tmp_path / "t.xplane.pb"
+    p.write_bytes(_build_space())
+    planes = parse_xspace(str(p))
+    assert list(planes) == ["/device:TPU:0"]
+    lines, meta = planes["/device:TPU:0"]
+    assert meta == {7: "matmul", 8: "relu"}
+    (s,) = lines
+    assert s.name == "XLA Ops"
+    assert s.total_ps[7] == 100 and s.total_ps[8] == 30
+    assert s.self_ps[7] == 70 and s.self_ps[8] == 30  # nesting attributed
+    assert s.count[7] == 1 and s.count[8] == 1
+
+    out = io.StringIO()
+    summarize(str(p), top_k=5, out=out)
+    text = out.getvalue()
+    assert "matmul" in text and "relu" in text and "XLA Ops" in text

@@ -1,0 +1,225 @@
+#!/usr/bin/env python
+"""Dependency-free xplane.pb trace summarizer (SURVEY.md §5.1 tooling).
+
+``jax.profiler`` writes xprof's XSpace protobuf
+(``plugins/profile/<run>/*.xplane.pb``); reading it normally requires
+tensorflow/xprof, neither of which exists in this image. This tool walks
+the protobuf wire format directly against the XSpace schema
+(tensorflow/core/profiler/protobuf/xplane.proto field numbers) and prints,
+per plane and line, total/self event durations aggregated by event name —
+i.e. the attribution table the xprof UI would show, on any rig.
+
+Usage:
+    python tools/xplane_summary.py TRACE.xplane.pb [--plane SUBSTR] [-k N]
+
+Field numbers used (xplane.proto):
+    XSpace.planes=1
+    XPlane: id=1 name=2 lines=3 event_metadata=4 stat_metadata=5
+    XLine:  id=1 name=2 timestamp_ns=3 events=4 display_id=10
+            display_name=11
+    XEvent: metadata_id=1 offset_ps=2 duration_ps=3 stats=4
+    XEventMetadata: id=1 name=2 display_name=3
+    (map<int64, XEventMetadata> entries are key=1, value=2)
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import os
+import sys
+
+
+# ---------------------------------------------------------------------------
+# protobuf wire format
+# ---------------------------------------------------------------------------
+
+def _read_varint(buf: bytes, i: int) -> tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        b = buf[i]
+        i += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, i
+        shift += 7
+
+
+def iter_fields(buf: bytes):
+    """Yield (field_number, wire_type, value) for one message's bytes.
+
+    value is an int for varint/fixed fields and a memoryview for
+    length-delimited fields.
+    """
+    i, n = 0, len(buf)
+    mv = memoryview(buf)
+    while i < n:
+        key, i = _read_varint(buf, i)
+        field, wt = key >> 3, key & 7
+        if wt == 0:  # varint
+            val, i = _read_varint(buf, i)
+        elif wt == 1:  # 64-bit
+            val = int.from_bytes(buf[i:i + 8], "little")
+            i += 8
+        elif wt == 2:  # length-delimited
+            ln, i = _read_varint(buf, i)
+            val = mv[i:i + ln]
+            i += ln
+        elif wt == 5:  # 32-bit
+            val = int.from_bytes(buf[i:i + 4], "little")
+            i += 4
+        else:
+            raise ValueError(f"unsupported wire type {wt} at byte {i}")
+        yield field, wt, val
+
+
+# ---------------------------------------------------------------------------
+# XSpace walking
+# ---------------------------------------------------------------------------
+
+def _parse_event_metadata(buf) -> tuple[int, str]:
+    mid, name, display = 0, "", ""
+    for f, _, v in iter_fields(bytes(buf)):
+        if f == 1:
+            mid = v
+        elif f == 2:
+            name = bytes(v).decode("utf-8", "replace")
+        elif f == 3:
+            display = bytes(v).decode("utf-8", "replace")
+    return mid, (display or name)
+
+
+def _parse_event(buf) -> tuple[int, int, int]:
+    """Returns (metadata_id, offset_ps, duration_ps)."""
+    mid = off = dur = 0
+    for f, _, v in iter_fields(bytes(buf)):
+        if f == 1:
+            mid = v
+        elif f == 2:
+            off = v
+        elif f == 3:
+            dur = v
+    return mid, off, dur
+
+
+class LineSummary:
+    __slots__ = ("name", "events", "total_ps", "self_ps", "count")
+
+    def __init__(self, name: str):
+        self.name = name
+        self.events = []  # (offset_ps, duration_ps, metadata_id)
+        self.total_ps = collections.Counter()
+        self.self_ps = collections.Counter()
+        self.count = collections.Counter()
+
+    def finalize(self):
+        """Compute per-name total and SELF time (total minus time covered
+        by nested child events) via an interval sweep: events on one line
+        nest strictly (xprof's trace model), so a stack sweep over
+        start-sorted events attributes each ps to the innermost event."""
+        # sort by offset; at equal offsets the LONGER (parent) event first
+        evs = sorted(self.events, key=lambda e: (e[0], -e[1]))
+        stack = []  # (end_ps, metadata_id, child_ps accumulator index)
+        child = [0] * len(evs)
+        order = []
+        for idx, (off, dur, mid) in enumerate(evs):
+            end = off + dur
+            while stack and stack[-1][0] <= off:
+                stack.pop()
+            if stack:
+                child[stack[-1][2]] += dur
+            self.total_ps[mid] += dur
+            self.count[mid] += 1
+            order.append((mid, dur, idx))
+            stack.append((end, mid, idx))
+        for mid, dur, idx in order:
+            self.self_ps[mid] += dur - child[idx]
+
+
+def parse_xspace(path: str):
+    """Returns {plane_name: {line_name: LineSummary}, ...} with metadata
+    names resolved."""
+    data = open(path, "rb").read()
+    planes = {}
+    for f, _, v in iter_fields(data):
+        if f != 1:
+            continue
+        meta = {}
+        lines = []
+        plane_name = ""
+        raw_lines = []
+        for pf, _, pv in iter_fields(bytes(v)):
+            if pf == 2:
+                plane_name = bytes(pv).decode("utf-8", "replace")
+            elif pf == 3:
+                raw_lines.append(pv)
+            elif pf == 4:  # map entry: key=1, value=2 (XEventMetadata)
+                for mf, _, mval in iter_fields(bytes(pv)):
+                    if mf == 2:
+                        mid, name = _parse_event_metadata(mval)
+                        meta[mid] = name
+        for lv in raw_lines:
+            lname = ""
+            summary = None
+            evs = []
+            for lf, wt, lval in iter_fields(bytes(lv)):
+                if lf in (2, 11) and wt == 2 and not lname:
+                    lname = bytes(lval).decode("utf-8", "replace")
+                elif lf == 4 and wt == 2:
+                    evs.append(_parse_event(lval))
+            summary = LineSummary(lname or "<unnamed>")
+            summary.events = [(off, dur, mid) for mid, off, dur in evs]
+            summary.finalize()
+            lines.append(summary)
+        planes[plane_name] = (lines, meta)
+    return planes
+
+
+# ---------------------------------------------------------------------------
+# report
+# ---------------------------------------------------------------------------
+
+def summarize(path: str, plane_filter: str = "", top_k: int = 15,
+              out=sys.stdout) -> None:
+    planes = parse_xspace(path)
+    for pname, (lines, meta) in planes.items():
+        if plane_filter and plane_filter not in pname:
+            continue
+        print(f"\n=== plane {pname!r} ===", file=out)
+        for s in lines:
+            if not s.events:
+                continue
+            total_all = sum(s.self_ps.values())
+            print(f"--- line {s.name!r}: {len(s.events)} events, "
+                  f"{total_all / 1e6:.3f} us self total ---", file=out)
+            rows = sorted(s.self_ps.items(), key=lambda kv: -kv[1])[:top_k]
+            for mid, self_ps in rows:
+                name = meta.get(mid, f"<meta {mid}>")
+                print(f"  {self_ps / 1e6:12.3f} us self "
+                      f"{s.total_ps[mid] / 1e6:12.3f} us total "
+                      f"x{s.count[mid]:<6d} {name[:90]}", file=out)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("path", help="xplane.pb file, or a profile dir to "
+                    "search for the newest one")
+    ap.add_argument("--plane", default="", help="only planes whose name "
+                    "contains this substring")
+    ap.add_argument("-k", "--top_k", type=int, default=15)
+    args = ap.parse_args()
+    path = args.path
+    if os.path.isdir(path):
+        cands = sorted(glob.glob(os.path.join(path, "**", "*.xplane.pb"),
+                                 recursive=True), key=os.path.getmtime)
+        if not cands:
+            sys.exit(f"no *.xplane.pb under {path}")
+        path = cands[-1]
+        print(f"[xplane_summary] {path}")
+    summarize(path, args.plane, args.top_k)
+
+
+if __name__ == "__main__":
+    main()
