@@ -25,27 +25,18 @@ _CHILD = r"""
 import jax
 jax.config.update("jax_platforms", "cpu")
 import sys
-from iaf_tpu.core.config import Config
-from iaf_tpu import train_lib
-from iaf_tpu.data.datasets import synthetic_dataset
-
 trace_dir, logdir = sys.argv[1], sys.argv[2]
-cfg = Config(dataset="synthetic", image_size=8, channels=3, z_size=2,
-             h_size=8, depth=1, num_blocks=1, depth_ar=1,
-             ar_hidden_size=8, kl_min=0.25, learning_rate=0.005,
-             batch_size=8, total_steps=4, ckpt_every=4, log_every=4,
-             logdir=logdir)
-ds = synthetic_dataset(8, 3, n_train=64, n_test=32, seed=0)
-
-def it():
-    while True:
-        yield ds.train_x[:8]
-
-jax.profiler.start_trace(trace_dir)
-try:
-    train_lib.train(cfg, data_iter=it())
-finally:
-    jax.profiler.stop_trace()
+# Drive the REAL CLI path (train.py == iaf_tpu.cli.main), including its
+# --profile_dir wiring (backend allowlist + start/stop_trace in finally).
+sys.argv = [
+    "train.py", "--logdir", logdir, "--profile_dir", trace_dir,
+    "--mode", "train", "--hpconfig",
+    "dataset=synthetic,image_size=8,channels=3,z_size=2,h_size=8,depth=1,"
+    "num_blocks=1,depth_ar=1,ar_hidden_size=8,kl_min=0.25,"
+    "learning_rate=0.005,batch_size=8,total_steps=4,ckpt_every=4,"
+    "log_every=4"]
+from iaf_tpu.cli import main
+main()
 """
 
 
@@ -81,7 +72,7 @@ def test_trace_capture_contains_named_scopes(tmp_path):
     planes = parse_xspace(pbs[0])
     assert planes, "no planes parsed"
     n_events = 0
-    for lines, meta in planes.values():
+    for _, lines, meta in planes:
         for s in lines:
             n_events += len(s.events)
             for mid, self_ps in s.self_ps.items():

@@ -61,9 +61,8 @@ def _build_space() -> bytes:
 def test_parse_hand_encoded_xspace(tmp_path):
     p = tmp_path / "t.xplane.pb"
     p.write_bytes(_build_space())
-    planes = parse_xspace(str(p))
-    assert list(planes) == ["/device:TPU:0"]
-    lines, meta = planes["/device:TPU:0"]
+    ((pname, lines, meta),) = parse_xspace(str(p))
+    assert pname == "/device:TPU:0"
     assert meta == {7: "matmul", 8: "relu"}
     (s,) = lines
     assert s.name == "XLA Ops"
@@ -75,3 +74,40 @@ def test_parse_hand_encoded_xspace(tmp_path):
     summarize(str(p), top_k=5, out=out)
     text = out.getvalue()
     assert "matmul" in text and "relu" in text and "XLA Ops" in text
+
+
+def test_overlapping_events_never_go_negative():
+    """Async host events can overlap without nesting ([0,50) vs [10,70));
+    attribution clips child time to the overlap and floors self at 0."""
+    from xplane_summary import LineSummary
+    s = LineSummary("host")
+    s.events = [(0, 50, 1), (10, 60, 2)]
+    s.finalize()
+    assert s.self_ps[1] == 10  # 50 - overlap 40
+    assert s.self_ps[2] == 60
+    assert all(v >= 0 for v in s.self_ps.values())
+
+
+def test_truncated_file_raises(tmp_path):
+    import pytest
+    buf = _build_space()
+    p = tmp_path / "trunc.xplane.pb"
+    p.write_bytes(buf[: len(buf) - 5])
+    with pytest.raises(ValueError, match="truncated"):
+        parse_xspace(str(p))
+
+
+def test_map_key_used_when_metadata_id_elided(tmp_path):
+    """proto3 writers may rely on the map key and elide XEventMetadata.id
+    (default 0): the parser must fall back to the map entry key."""
+    meta_no_id = _field(2, 2, b"fusion")  # XEventMetadata {name only}
+    entry = _field(1, 0, _varint(9)) + _msg(2, meta_no_id)
+    ev = (_field(1, 0, _varint(9)) + _field(2, 0, _varint(0))
+          + _field(3, 0, _varint(10)))
+    line = _field(2, 2, b"ops") + _msg(4, ev)
+    plane = _field(2, 2, b"/device:TPU:0") + _msg(3, line) + _msg(4, entry)
+    p = tmp_path / "m.xplane.pb"
+    p.write_bytes(_msg(1, plane))
+    ((_, lines, meta),) = parse_xspace(str(p))
+    assert meta == {9: "fusion"}
+    assert lines[0].total_ps[9] == 10

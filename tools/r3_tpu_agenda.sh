@@ -7,7 +7,8 @@
 #   1. bench.py                -> artifacts/bench_r3_early.json  (next #1,#3)
 #   2. decompose_bench.py      -> artifacts/decompose_r3.txt     (next #2)
 #   3. short train + invert    -> artifacts/invert_check_r3.txt  (next #4)
-#   4. 100k-step soak + report -> artifacts/soak_100k_r3_*       (next #8)
+#   4. pallas_elem A/B         -> artifacts/ab_pallas_elem_r3.txt (next #2)
+#   5. 100k-step soak + report -> artifacts/soak_100k_r3_*       (next #8)
 #
 # Usage: nohup bash tools/r3_tpu_agenda.sh > /tmp/r3_agenda.log 2>&1 &
 set -u

@@ -39,6 +39,8 @@ def _read_varint(buf: bytes, i: int) -> tuple[int, int]:
     result = 0
     shift = 0
     while True:
+        if i >= len(buf):
+            raise ValueError(f"truncated varint at byte {i}")
         b = buf[i]
         i += 1
         result |= (b & 0x7F) << shift
@@ -61,13 +63,21 @@ def iter_fields(buf: bytes):
         if wt == 0:  # varint
             val, i = _read_varint(buf, i)
         elif wt == 1:  # 64-bit
+            if i + 8 > n:
+                raise ValueError(f"truncated fixed64 at byte {i}")
             val = int.from_bytes(buf[i:i + 8], "little")
             i += 8
         elif wt == 2:  # length-delimited
             ln, i = _read_varint(buf, i)
+            if i + ln > n:
+                raise ValueError(
+                    f"truncated message: field {field} declares {ln} bytes "
+                    f"at offset {i} but only {n - i} remain")
             val = mv[i:i + ln]
             i += ln
         elif wt == 5:  # 32-bit
+            if i + 4 > n:
+                raise ValueError(f"truncated fixed32 at byte {i}")
             val = int.from_bytes(buf[i:i + 4], "little")
             i += 4
         else:
@@ -117,11 +127,15 @@ class LineSummary:
     def finalize(self):
         """Compute per-name total and SELF time (total minus time covered
         by nested child events) via an interval sweep: events on one line
-        nest strictly (xprof's trace model), so a stack sweep over
-        start-sorted events attributes each ps to the innermost event."""
+        nest in xprof's trace model, so a stack sweep over start-sorted
+        events attributes each ps to the innermost event. Robustness
+        against real traces: child time credited to a parent is CLIPPED to
+        the overlap with that parent (async host events can overlap
+        without nesting), and self time is floored at 0 so malformed
+        overlap can never produce negative attribution."""
         # sort by offset; at equal offsets the LONGER (parent) event first
         evs = sorted(self.events, key=lambda e: (e[0], -e[1]))
-        stack = []  # (end_ps, metadata_id, child_ps accumulator index)
+        stack = []  # (end_ps, metadata_id, event index)
         child = [0] * len(evs)
         order = []
         for idx, (off, dur, mid) in enumerate(evs):
@@ -129,20 +143,22 @@ class LineSummary:
             while stack and stack[-1][0] <= off:
                 stack.pop()
             if stack:
-                child[stack[-1][2]] += dur
+                p_end, _, p_idx = stack[-1]
+                child[p_idx] += max(0, min(end, p_end) - off)
             self.total_ps[mid] += dur
             self.count[mid] += 1
             order.append((mid, dur, idx))
             stack.append((end, mid, idx))
         for mid, dur, idx in order:
-            self.self_ps[mid] += dur - child[idx]
+            self.self_ps[mid] += max(0, dur - child[idx])
 
 
 def parse_xspace(path: str):
-    """Returns {plane_name: {line_name: LineSummary}, ...} with metadata
-    names resolved."""
+    """Returns a list of (plane_name, lines, meta) triples — one per XPlane
+    in file order (plane names may repeat in merged multi-host captures);
+    ``lines`` is a list of LineSummary, ``meta`` maps metadata_id -> name."""
     data = open(path, "rb").read()
-    planes = {}
+    planes = []
     for f, _, v in iter_fields(data):
         if f != 1:
             continue
@@ -156,10 +172,19 @@ def parse_xspace(path: str):
             elif pf == 3:
                 raw_lines.append(pv)
             elif pf == 4:  # map entry: key=1, value=2 (XEventMetadata)
+                map_key = None
+                mid, name = None, ""
                 for mf, _, mval in iter_fields(bytes(pv)):
-                    if mf == 2:
+                    if mf == 1:
+                        map_key = mval
+                    elif mf == 2:
                         mid, name = _parse_event_metadata(mval)
-                        meta[mid] = name
+                # proto3 writers may elide XEventMetadata.id (default 0)
+                # and rely on the map key alone
+                if not mid and map_key is not None:
+                    mid = map_key
+                if mid is not None:
+                    meta[mid] = name
         for lv in raw_lines:
             lname = ""
             summary = None
@@ -173,7 +198,7 @@ def parse_xspace(path: str):
             summary.events = [(off, dur, mid) for mid, off, dur in evs]
             summary.finalize()
             lines.append(summary)
-        planes[plane_name] = (lines, meta)
+        planes.append((plane_name, lines, meta))
     return planes
 
 
@@ -184,7 +209,7 @@ def parse_xspace(path: str):
 def summarize(path: str, plane_filter: str = "", top_k: int = 15,
               out=sys.stdout) -> None:
     planes = parse_xspace(path)
-    for pname, (lines, meta) in planes.items():
+    for pname, lines, meta in planes:
         if plane_filter and plane_filter not in pname:
             continue
         print(f"\n=== plane {pname!r} ===", file=out)
