@@ -70,11 +70,27 @@ timeout 5400 python tools/ab_bench.py 4 base xla_opt pallas_elem \
 log "ab done: $(cat artifacts/ab_pallas_elem_r3.txt)"
 
 # ---- 5. 100k-step soak under full defaults (VERDICT next #8) ---------------
+# Multi-hour run on a tunnel that can die: retry with resume-from-latest-
+# checkpoint (train.py restores automatically), but only after a QUICK
+# probe confirms the tunnel is back — a dead tunnel makes train.py hang
+# until its own timeout, so blind retries would burn 3x4h for nothing.
 log "STEP 5: 100k-step soak"
 SOAK="depth=1,num_blocks=20,kl_min=0.25,learning_rate=0.002,batch_size=32,z_size=32,h_size=160,depth_ar=2,dataset=synthetic,total_steps=100000,ckpt_every=20000,log_every=500,steps_per_dispatch=25,eval_every=5000,eval_batch_size=16,eval_k=64"
 rm -rf /tmp/soak100k_r3
-timeout 14400 python train.py --logdir /tmp/soak100k_r3 --hpconfig "$SOAK" \
-    --mode train > artifacts/soak_100k_r3_train.log 2>&1
+for attempt in 1 2 3; do
+    if timeout 14400 python train.py --logdir /tmp/soak100k_r3 \
+        --hpconfig "$SOAK" --mode train \
+        >> artifacts/soak_100k_r3_train.log 2>&1; then
+        log "soak finished on attempt $attempt"
+        break
+    fi
+    log "soak attempt $attempt failed (crash/timeout); probing tunnel"
+    if ! timeout 150 python -c "$PROBE" > /dev/null 2>&1; then
+        log "tunnel is down; abandoning soak retries"
+        break
+    fi
+    log "tunnel alive; resuming soak from the latest checkpoint"
+done
 cp /tmp/soak100k_r3/metrics.jsonl artifacts/soak_100k_r3_metrics.jsonl
 python tools/long_run_report.py /tmp/soak100k_r3 \
     > artifacts/soak_100k_r3_report.txt 2>&1 \
