@@ -140,6 +140,11 @@ class Config:
     # "pallas" forces everything (interpret mode off-TPU); "xla" forces the
     # twins; "pallas_ar"/"pallas_opt" isolate one kernel class for A/Bs.
     kernels: str = "auto"
+    # Fused AR-stack kernel variant (only read when that kernel runs, i.e.
+    # kernels=pallas/pallas_ar): "pertap" = r2 per-tap matmuls; "im2col" =
+    # r4 live-tap-im2col challenger (one [rows, T*cin] x [T*cin, cout]
+    # matmul per conv over the concatenated nonzero taps).
+    ar_variant: str = "pertap"
     # Slice zero kernel rows off masked AR convs (asymmetric padding).
     # Exact-equivalent, 1/3 fewer AR-conv FLOPs; honest interleaved A/B
     # (tools/ab_bench.py): 36.8 vs 35.0 steps/s (+5%) on v5e -> default ON.
@@ -204,6 +209,9 @@ class Config:
                  "pallas_elem")
         if self.kernels not in legal:
             raise ValueError(f"kernels={self.kernels!r} not in {legal}")
+        if self.ar_variant not in ("pertap", "im2col"):
+            raise ValueError(f"ar_variant={self.ar_variant!r} not in "
+                             "('pertap', 'im2col')")
         # The conv AR path adds the h_size-wide context (up_context +
         # down_context, tf_train.py IAFLayer) to the FIRST hidden masked
         # conv's output, so conv AR hidden widths must equal h_size

@@ -56,16 +56,35 @@ def load_cifar10(data_dir: str) -> Dataset | None:
             # read-only data mount (e.g. /datasets): extract into a
             # DETERMINISTIC writable location derived from the archive path
             # (ADVICE r2: a CWD-relative dir would silently depend on the
-            # process working directory and re-extract per CWD)
+            # process working directory and re-extract per CWD).
+            # Hardening (ADVICE r3): the path is uid-scoped (another local
+            # user squatting the shared name can only make us raise, never
+            # feed us data to pickle.load), extraction goes into a private
+            # 0700 mkdtemp that is atomically renamed into place, and
+            # completeness is a marker file — a crashed partial extraction
+            # can never be mistaken for a finished one.
+            import shutil
             import tempfile
             tag = hashlib.sha256(os.path.abspath(tgz).encode()).hexdigest()[:12]
             alt = os.path.join(tempfile.gettempdir(),
-                               f"iaf_tpu_cifar10_{tag}")
+                               f"iaf_tpu_cifar10_{os.getuid()}_{tag}")
             extracted = os.path.join(alt, "cifar-10-batches-py")
-            if not os.path.isdir(extracted):
-                os.makedirs(alt, exist_ok=True)
+            marker = os.path.join(alt, ".extract_complete")
+            if not os.path.isfile(marker):
+                tmp = tempfile.mkdtemp(
+                    prefix=f"iaf_tpu_cifar10_{os.getuid()}_extract_")
                 with tarfile.open(tgz, "r:gz") as f:
-                    f.extractall(alt)  # noqa: S202
+                    f.extractall(tmp)  # noqa: S202
+                with open(os.path.join(tmp, ".extract_complete"), "w") as mf:
+                    mf.write("ok\n")
+                try:
+                    os.rename(tmp, alt)  # atomic publish
+                except OSError:
+                    # somebody else (or a squatter) holds ``alt``: keep ours
+                    # out of the way and only trust a COMPLETE extraction
+                    shutil.rmtree(tmp, ignore_errors=True)
+                    if not os.path.isfile(marker):
+                        raise
 
     def _batch(name):
         with open(os.path.join(extracted, name), "rb") as f:

@@ -154,6 +154,13 @@ class ChunkPrefetcher:
         except Exception:
             pass
         self._t.join(timeout=5.0)
+        if self._t.is_alive():
+            # e.g. blocked inside a device transfer on a dead tunnel: the
+            # daemon thread cannot be killed, but its survival must be
+            # VISIBLE, not silently reported as a clean shutdown (ADVICE r3)
+            print("[feed] WARNING: prefetch worker still alive after 5s "
+                  "join (likely stuck in a device transfer); it remains a "
+                  "daemon thread and will not block process exit")
         self._done = True
 
     def __iter__(self):

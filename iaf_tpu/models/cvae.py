@@ -155,15 +155,24 @@ def iaf_flow(cfg: Config, ctx: Ctx, z: jax.Array, context: jax.Array,
                 pallas_conv=(not ctx.init) and use_pallas(cfg.kernels,
                                                           "conv"),
                 trim_rows=cfg.ar_row_trim,
-                merge_heads=cfg.merge_ar_heads)
+                merge_heads=cfg.merge_ar_heads,
+                pallas_variant=cfg.ar_variant)
     else:  # dense MADE over the channel vector at each position
         m, s = L.ar_multidense(ctx, "ar1", z, context, n_h,
                                [cfg.z_size, cfg.z_size])
     m = m * 0.1
     s = s * 0.1
     if cfg.flow_update == "division":
-        z = (z - m) * jnp.exp(-s)
-        logqs = logqs + s
+        if (not ctx.init) and use_pallas(cfg.kernels, "elementwise"):
+            # fused (z-m)*exp(-s) + elementwise log-det-J accumulation in
+            # one VMEM pass (ops/fused.py — north-star "per-example AR
+            # transform" obligation; logqs stays elementwise so the
+            # free-bits objective downstream keeps its per-channel KL)
+            from iaf_tpu.ops import iaf_update
+            z, logqs = iaf_update(z, m, s, logqs)
+        else:
+            z = (z - m) * jnp.exp(-s)
+            logqs = logqs + s
     elif cfg.flow_update == "gate":
         # z' = g*z + (1-g)*m with g in (0,1): |det dz'/dz| = prod g, so the
         # change of variables gives log q(z') = log q(z) - sum log g

@@ -116,8 +116,12 @@ def invert_ar_fixed_point(ar_fn: ArFn, z_prime: jax.Array,
         m, s = ar_fn(z)
         z_new = _inverse_update(z_prime, m, s, gate_bias, form)
         # f32 carry slot regardless of z's dtype (while_loop needs a
-        # dtype-stable carry; bf16 latents still get an f32 delta)
-        delta = jnp.max(jnp.abs(z_new - z)).astype(jnp.float32)
+        # dtype-stable carry). The SUBTRACTION must also be f32: computed
+        # in bf16 it carries bf16 resolution, so a tol below ~1e-2 would
+        # only be reachable once iterates are bit-identical and the early
+        # exit would silently degrade to near-exact convergence (ADVICE r3).
+        delta = jnp.max(jnp.abs(z_new.astype(jnp.float32)
+                                - z.astype(jnp.float32)))
         return z_new, delta, i + 1
 
     init = (jnp.zeros_like(z_prime),

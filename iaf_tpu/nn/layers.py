@@ -314,7 +314,8 @@ def ar_multiconv2d(ctx: Ctx, name: str, x: jax.Array, context: jax.Array,
                    pallas: bool = False,
                    pallas_conv: bool = False,
                    trim_rows: bool = False,
-                   merge_heads: bool = False) -> list[jax.Array]:
+                   merge_heads: bool = False,
+                   pallas_variant: str = "pertap") -> list[jax.Array]:
     """Small masked-conv net computing the IAF (m, s) heads
     (``tf_utils/layers.py — ar_multiconv2d``).
 
@@ -347,7 +348,8 @@ def ar_multiconv2d(ctx: Ctx, name: str, x: jax.Array, context: jax.Array,
             and len(n_h) >= 1 and len(set(n_h)) == 1):
         return _ar_multiconv2d_fused(sub, x, context, n_h, n_out,
                                      merge_heads,
-                                     compute_dtype=ctx.compute_dtype)
+                                     compute_dtype=ctx.compute_dtype,
+                                     variant=pallas_variant)
     h = x
     for i, size in enumerate(n_h):
         h = ar_conv2d(sub, f"layer_{i}", h, size, filter_size=filter_size,
@@ -380,7 +382,8 @@ def ar_multiconv2d(ctx: Ctx, name: str, x: jax.Array, context: jax.Array,
 
 def _ar_multiconv2d_fused(sub: Ctx, x: jax.Array, context: jax.Array,
                           n_h: Sequence[int], n_out: Sequence[int],
-                          merge_heads: bool, compute_dtype=None):
+                          merge_heads: bool, compute_dtype=None,
+                          variant: str = "pertap"):
     """Fold every conv's weights and hand the whole chain to the fused
     Pallas kernel. Reads the SAME param scopes as the unfused path, so the
     kernel choice never changes the checkpoint format."""
@@ -416,7 +419,8 @@ def _ar_multiconv2d_fused(sub: Ctx, x: jax.Array, context: jax.Array,
 
     cd = ("bfloat16" if compute_dtype is not None
           and jnp.dtype(compute_dtype) == jnp.dtype(jnp.bfloat16) else None)
-    out = ar_stack_fused(x, context, ws, bs, masks, compute_dtype=cd)
+    out = ar_stack_fused(x, context, ws, bs, masks, compute_dtype=cd,
+                         tap_concat=(variant == "im2col"))
     outs, start = [], 0
     for size in n_out:
         outs.append(out[..., start:start + size])

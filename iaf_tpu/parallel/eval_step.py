@@ -99,8 +99,11 @@ def make_eval_step(cfg: Config, mesh: Mesh, k: int | None = None):
 
 
 def make_batch_sharded_elbo(cfg: Config, mesh: Mesh, k: int = 1):
-    """Plain batch-data-parallel eval (k small, batch sharded): used for
-    fast train-set monitoring. Returns f(params, rng, batch) -> [B] nats."""
+    """Plain batch-data-parallel eval (k small, batch sharded): the driver's
+    eval path when k does not divide the mesh's data axis — in practice the
+    k=1 plain-ELBO monitoring mode (``train_lib.make_eval_setup`` picks it;
+    the k-sharded path requires k % n_shards == 0). Returns
+    f(params, rng, batch) -> [B] nats."""
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(DATA_AXIS))
 

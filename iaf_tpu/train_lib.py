@@ -328,7 +328,13 @@ def make_eval_setup(cfg: Config, mode: str, k: int, mesh):
     """Load the eval split (with the training binarization protocol) and
     compile the sharded IW eval step — once. ``eval_loop`` reuses this
     across checkpoint polls so each poll pays neither the dataset load nor
-    a jit retrace of the k-sample program."""
+    a jit retrace of the k-sample program.
+
+    Sharding strategy follows k: when k divides the mesh's data axis the
+    importance-sample axis is sharded (the long axis, SURVEY §5.7); when it
+    does not — k=1 plain-ELBO monitoring being the real case — the BATCH is
+    sharded instead (``make_batch_sharded_elbo``), which the k-sharded path
+    cannot express (it asserts k % n_shards == 0)."""
     ds, _ = load_dataset(cfg.dataset, cfg.data_dir, cfg.image_size,
                          cfg.channels)
     images = ds.train_x if mode == "eval_train" else ds.test_x
@@ -337,7 +343,17 @@ def make_eval_setup(cfg: Config, mode: str, k: int, mesh):
         # fixed seed (raw grayscale into bernoulli_logp would effectively
         # threshold at 0.5 — an easier, non-comparable protocol)
         images = feed.dynamic_binarize(images, feed.binarize_rng(cfg.seed, -2))
-    return images, ev.make_eval_step(cfg, mesh, k=k)
+    n_sh = mesh.shape["data"]
+    if k % n_sh == 0:
+        eval_fn = ev.make_eval_step(cfg, mesh, k=k)
+    else:
+        if cfg.eval_batch_size % n_sh:
+            raise ValueError(
+                f"eval k={k} is not a multiple of the data axis ({n_sh}); "
+                f"the batch-sharded eval path then requires eval_batch_size "
+                f"({cfg.eval_batch_size}) to divide by it")
+        eval_fn = ev.make_batch_sharded_elbo(cfg, mesh, k=k)
+    return images, eval_fn
 
 
 def evaluate(cfg: Config, mode: str = "eval_test", params=None,
@@ -407,6 +423,7 @@ def evaluate(cfg: Config, mode: str = "eval_test", params=None,
                 "seed": cfg.seed, "id": progress_id or "external-params"}
 
     start_i, total_nats, total_n = 0, 0.0, 0
+    protect_progress = False
     if progress_path and os.path.isfile(progress_path):
         import json
         with open(progress_path) as f:
@@ -417,6 +434,15 @@ def evaluate(cfg: Config, mode: str = "eval_test", params=None,
             if jax.process_index() == 0:
                 print(f"[{mode}] resuming at batch {start_i}/{n_batches} "
                       f"from {progress_path}")
+        elif prog.get("identity") == identity:
+            # A capped rerun (--max_batches below the stored i) must NOT
+            # clobber a MORE complete progress file for the same weights:
+            # leave it on disk untouched for the next full eval (ADVICE r3).
+            protect_progress = True
+            if jax.process_index() == 0:
+                print(f"[{mode}] progress file has {prog['i']} batches > "
+                      f"this run's {n_batches}; preserving it (this capped "
+                      "run will not write progress)")
         elif jax.process_index() == 0:
             print(f"[{mode}] ignoring stale eval progress {progress_path}")
     if progress_path and jax.process_count() > 1:
@@ -433,7 +459,7 @@ def evaluate(cfg: Config, mode: str = "eval_test", params=None,
         start_i, total_n = int(start_i), int(total_n)
 
     def _save_progress(i: int) -> None:
-        if not progress_path or jax.process_index() != 0:
+        if not progress_path or protect_progress or jax.process_index() != 0:
             return
         import json
         tmp = progress_path + ".tmp"

@@ -126,6 +126,25 @@ def test_eval_tail_batch_and_killed_resume(tmp_path):
     assert mismatched == full
 
 
+def test_evaluate_k1_uses_batch_sharded_path(tmp_path):
+    """k=1 does not divide the 8-device data axis, so evaluate() must route
+    through the batch-sharded ELBO path (make_batch_sharded_elbo) instead of
+    asserting inside the k-sharded program — and still return a finite
+    bits/dim on the same checkpoints."""
+    cfg = Config(dataset="synthetic", image_size=8, channels=3, z_size=2,
+                 h_size=8, depth=1, num_blocks=1, depth_ar=1,
+                 ar_hidden_size=8, kl_min=0.25, learning_rate=0.005,
+                 batch_size=8, total_steps=6, ckpt_every=6, log_every=6,
+                 eval_batch_size=8, eval_k=16, logdir=str(tmp_path))
+    train_lib.train(cfg, data_iter=synthetic_iter(8, 8, 3))
+    bpd = train_lib.evaluate(cfg, mode="eval_test", k=1, max_batches=2)
+    assert np.isfinite(bpd) and 0 < bpd < 30
+    # an indivisible eval_batch_size is a clear error, not a shard assert
+    cfg_bad = cfg.replace(eval_batch_size=6)
+    with pytest.raises(ValueError, match="batch-sharded"):
+        train_lib.evaluate(cfg_bad, mode="eval_test", k=1, max_batches=1)
+
+
 def test_eval_loop_polls_checkpoints(tmp_path):
     cfg = Config(dataset="synthetic", image_size=8, channels=3, z_size=2,
                  h_size=8, depth=1, num_blocks=1, depth_ar=1,

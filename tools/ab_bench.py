@@ -43,6 +43,10 @@ VARIANTS = {
     # xla_opt, not base, to isolate the likelihood kernel)
     "pallas_elem": ",kernels=pallas_elem",
     "pallas_ar": ",kernels=pallas_ar",  # fused AR-stack kernel only
+    # r4 live-tap-im2col AR-stack challenger: one [rows, 5*cin] matmul per
+    # conv over the concatenated live taps (vs pallas_ar's 5 per-tap
+    # matmuls; vs base's XLA dense conv with 9 taps)
+    "pallas_ar_im2col": ",kernels=pallas_ar,ar_variant=im2col",
     "pallas_opt": ",kernels=pallas_opt",  # fused Adamax+Polyak kernel only
     # batch 64 at fixed examples/s: reported steps/s must be doubled to
     # compare against batch-32 variants (the harness reports raw steps/s)
