@@ -227,6 +227,74 @@ def summarize(path: str, plane_filter: str = "", top_k: int = 15,
                       f"x{s.count[mid]:<6d} {name[:90]}", file=out)
 
 
+# Category buckets for --agg (first match wins, tested top to bottom):
+# the cross-check axis against tools/decompose_bench.py's ablation deltas
+# (SURVEY §5.1 capture -> attribution loop).
+AGG_BUCKETS = (
+    ("optimizer (adamax_polyak_fused)", ("adamax_polyak_fused",)),
+    ("pallas ar/iaf/likelihood", ("ar_stack_fused", "iaf_update_fused",
+                                  "disc_logistic_fused")),
+    ("collectives", ("all-reduce", "all-gather", "reduce-scatter",
+                     "collective-permute")),
+    ("stacked-param slice/scatter", ("pad_add_fusion",
+                                     "slice_bitcast_fusion")),
+    ("async DMA waits (copy-start/done)", ("copy-start", "copy-done")),
+    ("layout copies", ("%copy", "copy.")),
+    ("weight-norm/grad reductions", ("multiply_reduce_fusion",
+                                     "reduce_fusion")),
+    # the TPU conv emitter runs inside generic %fusion.N ops, so this
+    # bucket is dominated by conv fwd/bwd compute plus fused elementwise
+    ("fused compute (convs + elementwise)", ("fusion", "convolution")),
+)
+
+
+def aggregate(path: str, out=sys.stdout) -> None:
+    """Bucket the device plane's per-op self time by op category and print
+    ms/step — comparable directly against decompose_bench's ablation
+    deltas."""
+    planes = parse_xspace(path)
+    for pname, lines, meta in planes:
+        if "/device:" not in pname:
+            continue
+        steps = 0
+        for s in lines:
+            if s.name == "XLA Modules":
+                for mid, c in s.count.items():
+                    if "jit_step" in meta.get(mid, ""):
+                        steps += c
+        for s in lines:
+            if s.name != "XLA Ops" or not s.events:
+                continue
+            buckets = collections.Counter()
+            for mid, self_ps in s.self_ps.items():
+                # bucket on the op NAME only (before " = "): the rest of
+                # the instruction text contains OPERAND names, which would
+                # misbucket e.g. a fusion consuming %copy.N as a copy
+                name = meta.get(mid, "").split(" = ")[0]
+                op_kind = ""
+                m = meta.get(mid, "")
+                if " = " in m:  # "… = f32[...] OPKIND(...)" — the op kind
+                    rhs = m.split(" = ", 1)[1]
+                    paren = rhs.find("(")
+                    if paren > 0:
+                        op_kind = rhs[:paren].rsplit(" ", 1)[-1]
+                for label, pats in AGG_BUCKETS:
+                    if any(p in name or p == op_kind for p in pats):
+                        buckets[label] += self_ps
+                        break
+                else:
+                    buckets["other"] += self_ps
+            total = sum(buckets.values())
+            denom = max(steps, 1)
+            print(f"\n=== plane {pname!r}: XLA Ops self-time by category "
+                  f"({steps} jit_step executions) ===", file=out)
+            for label, ps in buckets.most_common():
+                print(f"  {ps / 1e9 / denom:8.3f} ms/step "
+                      f"({100 * ps / total:5.1f}%)  {label}", file=out)
+            print(f"  {total / 1e9 / denom:8.3f} ms/step (100.0%)  "
+                  "TOTAL device op self-time", file=out)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("path", help="xplane.pb file, or a profile dir to "
@@ -234,6 +302,9 @@ def main() -> None:
     ap.add_argument("--plane", default="", help="only planes whose name "
                     "contains this substring")
     ap.add_argument("-k", "--top_k", type=int, default=15)
+    ap.add_argument("--agg", action="store_true",
+                    help="aggregate device-plane op self-time by category "
+                    "(ms/step) instead of the per-op table")
     args = ap.parse_args()
     path = args.path
     if os.path.isdir(path):
@@ -243,7 +314,10 @@ def main() -> None:
             sys.exit(f"no *.xplane.pb under {path}")
         path = cands[-1]
         print(f"[xplane_summary] {path}")
-    summarize(path, args.plane, args.top_k)
+    if args.agg:
+        aggregate(path)
+    else:
+        summarize(path, args.plane, args.top_k)
 
 
 if __name__ == "__main__":
