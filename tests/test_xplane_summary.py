@@ -88,6 +88,51 @@ def test_overlapping_events_never_go_negative():
     assert all(v >= 0 for v in s.self_ps.values())
 
 
+def test_agg_buckets_by_op_name_not_operands(tmp_path, capsys):
+    """--agg buckets on the op NAME before ' = ': a fusion consuming a
+    %copy operand must land in fused compute, not layout copies; the named
+    optimizer kernel gets its own bucket; ms/step divides by the jit_step
+    count on the XLA Modules line."""
+    from xplane_summary import aggregate
+
+    names = {
+        11: "%adamax_polyak_fused.1 = (f32[8,8]) custom-call(f32[8,8] %p)",
+        12: "%fusion.7 = f32[8,8] fusion(f32[8,8] %copy.3), kind=kOutput",
+        13: "%copy.3 = f32[8,8] copy(f32[8,8] %arg0)",
+        14: "jit_step(123)",
+    }
+    metas = b"".join(
+        _msg(4, _field(1, 0, _varint(mid))
+             + _msg(2, _field(1, 0, _varint(mid))
+                    + _field(2, 2, n.encode())))
+        for mid, n in names.items())
+
+    def event(mid, off, dur):
+        return (_field(1, 0, _varint(mid)) + _field(2, 0, _varint(off))
+                + _field(3, 0, _varint(dur)))
+
+    # 2 jit_step executions; disjoint ops: kernel 4e9ps, fusion 6e9, copy 2e9
+    ops = (_field(2, 2, b"XLA Ops")
+           + _msg(4, event(11, 0, 4_000_000_000))
+           + _msg(4, event(12, 5_000_000_000, 6_000_000_000))
+           + _msg(4, event(13, 12_000_000_000, 2_000_000_000)))
+    mods = (_field(2, 2, b"XLA Modules")
+            + _msg(4, event(14, 0, 1)) + _msg(4, event(14, 10, 1)))
+    plane = (_field(2, 2, b"/device:TPU:0") + _msg(3, ops) + _msg(3, mods)
+             + metas)
+    p = tmp_path / "agg.xplane.pb"
+    p.write_bytes(_msg(1, plane))
+    aggregate(str(p))
+    out = capsys.readouterr().out
+    assert "2 jit_step executions" in out
+    # 4e9 ps over 2 steps = 2 ms/step for the optimizer kernel
+    assert "2.000 ms/step" in out and "optimizer (adamax_polyak_fused)" in out
+    # fusion(… %copy.3 …) goes to fused compute (3 ms/step), not copies
+    assert "3.000 ms/step" in out
+    copies_line = [l for l in out.splitlines() if "layout copies" in l]
+    assert copies_line and "1.000 ms/step" in copies_line[0]
+
+
 def test_truncated_file_raises(tmp_path):
     import pytest
     buf = _build_space()

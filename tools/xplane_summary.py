@@ -248,10 +248,11 @@ AGG_BUCKETS = (
 )
 
 
-def aggregate(path: str, out=sys.stdout) -> None:
+def aggregate(path: str, out=None) -> None:
     """Bucket the device plane's per-op self time by op category and print
     ms/step — comparable directly against decompose_bench's ablation
     deltas."""
+    out = out or sys.stdout  # resolve at call time (testable via capsys)
     planes = parse_xspace(path)
     for pname, lines, meta in planes:
         if "/device:" not in pname:
