@@ -47,11 +47,13 @@ def use_pallas(kernels: str, op: str = "elementwise") -> bool:
     HONEST A/B (tools/ab_bench.py: value-fetch timed, contention-interleaved
     — earlier dispatch-latency-bound timings were invalid). As of the last
     sweep (paper config, v5e), auto admits the fused optimizer kernel
-    (won 33.51 vs 33.16, bit-exact) and rejects the conv kernels: XLA's
-    tuned convs beat both Pallas challengers (naive im2col r1, fused
-    zero-tap AR-stack r2), and the fused elementwise kernels don't pay for
-    their call overhead on this conv-dominated model. Kernels enter or
-    leave auto only behind a measured A/B.
+    (won 33.51 vs 33.16 r2; re-verified 33.65 vs 33.14 r4, bit-exact) and
+    rejects the conv kernels — XLA's tuned convs beat both Pallas
+    challengers (naive im2col r1, fused zero-tap AR-stack r2) — and the
+    elementwise class, whose isolation A/B measured a ~0.5% LOSS
+    (pallas_elem 32.96 vs xla_opt 33.14, r4): XLA already fuses these
+    elementwise chains, so the pallas_call boundary only costs. Kernels
+    enter or leave auto only behind a measured A/B.
     """
     if kernels == "pallas":
         return True

@@ -37,7 +37,45 @@ def test_healthy_run_passes(tmp_path):
     assert "ok   finiteness" in r.stdout
     assert "ok   free bits" in r.stdout
     assert "ok   progress" in r.stdout
-    assert "EMA eval" in r.stdout
+    assert "eval trajectory" in r.stdout
+    # short horizon: the EMA-crossing check does not arm below 20k steps
+    assert "EMA crossing" not in r.stdout
+
+
+def long_rows(n=40, eval_final=None):
+    """20k+ horizon rows with evals: crossing holds at the eval minimum."""
+    rows = [{"step": 500 * (i + 1), "loss": 2000.0 - 20 * i,
+             "bits_per_dim": 8.0 - 0.05 * i,
+             "kl_per_layer": [5.0, 4.0]} for i in range(n)]
+    rows.append({"step": 10_000, "eval_bits_per_dim": 7.0})
+    rows.append({"step": 15_000, "eval_bits_per_dim": 6.5})   # min; train
+    # bits at 15k = 8.0 - 0.05*29 = 6.55 -> crossing holds there
+    rows.append({"step": 20_000,
+                 "eval_bits_per_dim": 9.0 if eval_final is None
+                 else eval_final})
+    return rows
+
+
+def test_ema_crossing_checked_at_eval_minimum(tmp_path):
+    """The 100k-soak regime: the final eval overfits way above train, but
+    the crossing at the eval-minimum point passes (memorization on a tiny
+    synthetic set is not a Polyak failure)."""
+    r = run(write(tmp_path, long_rows()))
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "ok   EMA crossing at its best point (step 15000)" in r.stdout
+    assert "memorization" in r.stdout
+
+
+def test_ema_crossing_fails_when_never_below_train(tmp_path):
+    rows = [{"step": 500 * (i + 1), "loss": 2000.0 - 20 * i,
+             "bits_per_dim": 8.0 - 0.05 * i,
+             "kl_per_layer": [5.0, 4.0]} for i in range(40)]
+    # every eval far above the train bound at its step
+    for s in (10_000, 15_000, 20_000):
+        rows.append({"step": s, "eval_bits_per_dim": 12.0})
+    r = run(write(tmp_path, rows))
+    assert r.returncode == 1
+    assert "FAIL EMA crossing" in r.stdout
 
 
 def test_nan_fails(tmp_path):
