@@ -48,12 +48,15 @@ def use_pallas(kernels: str, op: str = "elementwise") -> bool:
     — earlier dispatch-latency-bound timings were invalid). As of the last
     sweep (paper config, v5e), auto admits the fused optimizer kernel
     (won 33.51 vs 33.16 r2; re-verified 33.65 vs 33.14 r4, bit-exact) and
-    rejects the conv kernels — XLA's tuned convs beat both Pallas
-    challengers (naive im2col r1, fused zero-tap AR-stack r2) — and the
-    elementwise class, whose isolation A/B measured a ~0.5% LOSS
-    (pallas_elem 32.96 vs xla_opt 33.14, r4): XLA already fuses these
-    elementwise chains, so the pallas_call boundary only costs. Kernels
-    enter or leave auto only behind a measured A/B.
+    rejects the conv kernels — XLA's tuned convs beat ALL THREE Pallas
+    challengers (naive im2col r1 28.3; fused zero-tap per-tap AR-stack r2
+    24.51; live-tap-im2col AR-stack r4 24.73, vs XLA 33.66) — and the
+    elementwise class: the fused disc-logistic alone lost by ~0.5%
+    (32.96 vs 33.14), and with the fused IAF-update kernel wired in,
+    pallas_elem measured 24.51 vs xla_opt 33.28 (r4): each pallas_call in
+    the 20-layer flow is a fusion barrier forcing z/m/s/logqs HBM round
+    trips XLA would otherwise fuse away. Kernels enter or leave auto only
+    behind a measured A/B.
     """
     if kernels == "pallas":
         return True
