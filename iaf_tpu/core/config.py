@@ -121,6 +121,14 @@ class Config:
     # choice for compile-time- or memory-constrained runs (pairs with
     # remat).
     scan_blocks: bool = False
+    # Unrolled form only: pre-fold weight normalization over the stacked
+    # block params once per step (W = V/||V||*g batched over all L layers —
+    # one reduction per leaf type instead of L tiny ones; AR masks still
+    # apply after, exactly, since masks are 0/1). Same math to float
+    # reduction order; see nn/layers.py fold_wn_tree. Honest interleaved
+    # A/B (tools/ab_bench.py r4, v5e): 35.97 vs 31.50 steps/s (+14%,
+    # ahead 4/4 rounds) -> default ON.
+    fold_wn: bool = True
     # Rematerialize the per-layer bodies in backward (jax.checkpoint on the
     # scan body): activation memory ~L-fold smaller for ~1/3 more FLOPs.
     # Only applies when scan_blocks=true.

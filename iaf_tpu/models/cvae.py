@@ -48,6 +48,7 @@ Both accumulate the running log-det-Jacobian into the posterior log-density.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -116,6 +117,29 @@ def _stack_trees(trees):
 
 def _slice_tree(tree, i):
     return jax.tree.map(lambda a: a[i], tree)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _unstack_tree(tree, n: int):
+    """Split a stacked [L, ...] tree into L per-layer trees, ONCE.
+
+    The backward pass is a single ``stack`` (one concatenate per leaf)
+    instead of XLA's default gradient for L independent slices — a chain of
+    L pad+add fusions that each rewrite the full [L, ...] buffer (measured
+    at ~0.9 ms/step of the paper config's unrolled backward, r4 TPU trace).
+    Exact: the slices are disjoint and cover the stack."""
+    return tuple(_slice_tree(tree, i) for i in range(n))
+
+
+def _unstack_fwd(tree, n: int):
+    return _unstack_tree(tree, n), None
+
+
+def _unstack_bwd(n: int, _res, cts):
+    return (_stack_trees(list(cts)),)
+
+
+_unstack_tree.defvjp(_unstack_fwd, _unstack_bwd)
 
 
 def top_layer_params(params):
@@ -242,8 +266,22 @@ def iaf_layer_down(
 # Stacked-block execution: scan (default) and unrolled parity twin
 # ---------------------------------------------------------------------------
 
+def _layer_param_list(cfg: Config, blocks):
+    """Per-layer param trees for the unrolled form: one custom-vjp unstack
+    of the stacked subtree (single-concat backward), optionally after the
+    batched weight-norm fold (``fold_wn`` — all L layers' V-norms in one
+    reduction per leaf type instead of L tiny ones, see
+    ``nn.layers.fold_wn_tree``)."""
+    if cfg.fold_wn:
+        blocks = L.fold_wn_tree(blocks)
+    return _unstack_tree(blocks, cfg.num_blocks * cfg.depth)
+
+
 def _run_up(cfg: Config, blocks, keys, h, compute_dtype):
-    """All bottom-up layer passes. Returns (h, stacked LayerStats [L, ...])."""
+    """All bottom-up layer passes. Returns (h, per-layer LayerStats): a
+    stacked [L, ...] tree in scan mode, a plain list in unrolled mode (so
+    the unrolled program never materializes [L, B, H, W, C] stat buffers —
+    their stack/slice pairs cost ~2 ms/step in the r4 TPU trace)."""
 
     def body(carry, inp):
         lp, key = inp
@@ -255,17 +293,20 @@ def _run_up(cfg: Config, blocks, keys, h, compute_dtype):
     if cfg.scan_blocks:
         fn = jax.checkpoint(body) if cfg.remat else body
         return jax.lax.scan(fn, h, (blocks, keys))
+    if not isinstance(blocks, (list, tuple)):
+        blocks = _layer_param_list(cfg, blocks)
     sts = []
-    n = cfg.num_blocks * cfg.depth
-    for i in range(n):
-        h, st = body(h, (_slice_tree(blocks, i), keys[i]))
+    for i, lp in enumerate(blocks):
+        h, st = body(h, (lp, keys[i]))
         sts.append(st)
-    return h, _stack_trees(sts)
+    return h, sts
 
 
 def _run_down(cfg: Config, blocks, keys, stats, h, mode, compute_dtype):
     """All top-down layer passes (layer L-1 first). Returns
-    (h, kl_obj [L, B], kl_cost [L, B]) with layer index in bottom-up order."""
+    (h, kl_obj [L, B], kl_cost [L, B]) with layer index in bottom-up order.
+    ``stats`` matches ``_run_up``'s output form (stacked in scan mode, a
+    list in unrolled mode)."""
 
     def body(carry, inp):
         lp, key, st = inp
@@ -277,11 +318,12 @@ def _run_down(cfg: Config, blocks, keys, stats, h, mode, compute_dtype):
     if cfg.scan_blocks:
         fn = jax.checkpoint(body) if cfg.remat else body
         return jax.lax.scan(fn, h, (blocks, keys, stats), reverse=True)
+    if not isinstance(blocks, (list, tuple)):
+        blocks = _layer_param_list(cfg, blocks)
     n = cfg.num_blocks * cfg.depth
     objs, costs = [None] * n, [None] * n
     for i in reversed(range(n)):
-        h, (objs[i], costs[i]) = body(
-            h, (_slice_tree(blocks, i), keys[i], _slice_tree(stats, i)))
+        h, (objs[i], costs[i]) = body(h, (blocks[i], keys[i], stats[i]))
     return h, (jnp.stack(objs), jnp.stack(costs))
 
 
@@ -310,6 +352,10 @@ def cvae_forward(cfg: Config, ctx: Ctx, x: jax.Array, mode: str = "train",
 
     blocks = ctx.root["blocks"]
     keys = _layer_keys(cfg, ctx.rng)
+    if not cfg.scan_blocks:
+        # unstack (and optionally weight-norm-fold) ONCE; up and down share
+        # the per-layer trees so the stacked tree has a single-stack backward
+        blocks = _layer_param_list(cfg, blocks)
     h, stats = _run_up(cfg, blocks, keys, h, ctx.compute_dtype)
 
     # Top-down from a learned per-channel bias (``h_top`` in tf_train.py).
@@ -360,30 +406,24 @@ def init_params(cfg: Config, rng: jax.Array, sample_batch: jax.Array):
     """Weight-norm data-dependent init: run the forward sequencing in init
     mode on a real batch; ``g``/``b`` of every weight-norm layer are
     calibrated from the activation statistics (SURVEY.md §3.5). Pure and
-    jittable; the per-layer init bodies are scanned like the forward
-    (``scan_blocks``), so ONE layer body compiles instead of L."""
+    jittable; the per-layer init bodies are ALWAYS scanned (init is a
+    one-time pass — compiling ONE layer body instead of L cuts the
+    dominant share of first-run compile, and the scanned init agrees with
+    the unrolled form to float reduction order, ~1e-5, far inside the
+    golden-test envelopes)."""
     ctx = Ctx(params={}, rng=rng, init=True)
     sks = (cfg.stem_kernel_size, cfg.stem_kernel_size)
     x = sample_batch.astype(jnp.float32) / 256.0 - 0.5
     h = L.conv2d(ctx, "x_enc", x, cfg.h_size, filter_size=sks, stride=(2, 2))
 
     keys = _layer_keys(cfg, rng)
-    n = cfg.num_blocks * cfg.depth
 
     def up_body(carry, key):
         lctx = Ctx(params={}, rng=key, init=True)
         h2, st = iaf_layer_up(cfg, lctx, carry)
         return h2, (lctx.root, st)
 
-    if cfg.scan_blocks:
-        h, (up_p, stats) = jax.lax.scan(up_body, h, keys)
-    else:
-        ups, sts = [], []
-        for i in range(n):
-            h, (p, st) = up_body(h, keys[i])
-            ups.append(p)
-            sts.append(st)
-        up_p, stats = _stack_trees(ups), _stack_trees(sts)
+    h, (up_p, stats) = jax.lax.scan(up_body, h, keys)
 
     h_top = ctx.param("h_top", (cfg.h_size,), L.normal_init(0.05))
     dec_hw = cfg.image_size // 2
@@ -395,13 +435,7 @@ def init_params(cfg: Config, rng: jax.Array, sample_batch: jax.Array):
         h2, _, _ = iaf_layer_down(cfg, lctx, carry, st, mode="train")
         return h2, lctx.root
 
-    if cfg.scan_blocks:
-        h, down_p = jax.lax.scan(down_body, h, (keys, stats), reverse=True)
-    else:
-        downs = [None] * n
-        for i in reversed(range(n)):
-            h, downs[i] = down_body(h, (keys[i], _slice_tree(stats, i)))
-        down_p = _stack_trees(downs)
+    h, down_p = jax.lax.scan(down_body, h, (keys, stats), reverse=True)
 
     # up/down param groups are disjoint module names within one layer scope
     ctx.root["blocks"] = {**up_p, **down_p}
@@ -439,7 +473,9 @@ def posterior_flow_probe(cfg: Config, params, rng: jax.Array, x: jax.Array):
     keys = _layer_keys(cfg, rng)
     blocks = params["blocks"]
     h, stats = _run_up(cfg, blocks, keys, h, None)
-    top_stats = _slice_tree(stats, -1)  # first layer decoded top-down
+    # first layer decoded top-down (list in unrolled form, stacked in scan)
+    top_stats = (stats[-1] if isinstance(stats, list)
+                 else _slice_tree(stats, -1))
     top = Ctx(params=top_layer_params(params), rng=keys[-1])
 
     h_top = ctx.param("h_top", (hs,), L.normal_init(0.05))

@@ -95,6 +95,20 @@ class Ctx:
         assert self.init, "set_param is init-mode only (data-dependent init)"
         self._node(create=True)[name] = value
 
+    def get(self, name: str) -> jax.Array:
+        """Read an existing param without declaring shape/init (apply mode)."""
+        node = self._node(create=False)
+        if name not in node:
+            raise KeyError(f"missing param {self.path}/{name}")
+        return node[name]
+
+    def has(self, name: str) -> bool:
+        try:
+            node = self._node(create=False)
+        except KeyError:
+            return False
+        return name in node
+
     # -- rng ---------------------------------------------------------------
     def key(self, name: str) -> jax.Array:
         if self.rng is None:
@@ -132,6 +146,35 @@ def _wn_direction(V: jax.Array, axes: tuple[int, ...], mask=None) -> jax.Array:
     if mask is not None:
         v = v * mask
     return v
+
+
+def fold_wn_tree(params: Params) -> Params:
+    """Pre-fold weight normalization over a STACKED param subtree.
+
+    Every ``{"V", "g", "b"}`` scope (leaves with leading layer dim L) is
+    replaced by ``{"W": V/||V|| * g, "b": b}`` with the per-output-unit
+    l2 norm computed over the non-leading, non-output axes — one batched
+    reduction per leaf type for all L layers instead of L tiny ones (the
+    r4 TPU trace put the per-layer weight-norm reductions at ~10% of step
+    time on the paper config). ``conv2d``/``_folded_conv_wb`` consume the
+    folded form directly; AR masks still apply downstream, which is exact
+    because masks are 0/1 so ``(v*mask)*g == (v*g)*mask`` bitwise.
+
+    Apply-mode only: data-dependent init calibrates g/b and must see the
+    raw V (SURVEY.md §3.5)."""
+    def fold(node):
+        if isinstance(node, dict):
+            if "V" in node:
+                V, g, b = node["V"], node["g"], node["b"]
+                axes = tuple(range(1, V.ndim - 1))
+                v = V * jax.lax.rsqrt(
+                    jnp.sum(jnp.square(V), axis=axes, keepdims=True) + 1e-12)
+                gexp = g.reshape(
+                    (g.shape[0],) + (1,) * (V.ndim - 2) + (g.shape[1],))
+                return {"W": v * gexp, "b": b}
+            return {k: fold(v) for k, v in node.items()}
+        return node
+    return fold(params)
 
 
 def _data_dep_out(ctx: Ctx, x_init: jax.Array, axes: tuple[int, ...],
@@ -178,8 +221,9 @@ def conv2d(ctx: Ctx, name: str, x: jax.Array, num_filters: int,
     sub = ctx.scope(name)
     n_in = x.shape[-1]
     vshape = (filter_size[0], filter_size[1], n_in, num_filters)
-    V = sub.param("V", vshape, normal_init(0.05))
-    mask_c = None if mask is None else jnp.asarray(mask, V.dtype)
+    folded = (not ctx.init) and sub.has("W")  # fold_wn_tree'd params
+    V = None if folded else sub.param("V", vshape, normal_init(0.05))
+    mask_c = None if mask is None else jnp.asarray(mask, jnp.float32)
     # static kernel-row trim for AR masks (zero rows below center)
     trim_row = None
     if (trim_rows and mask is not None and pad == "SAME"
@@ -208,9 +252,15 @@ def conv2d(ctx: Ctx, name: str, x: jax.Array, num_filters: int,
     if ctx.init:
         x_init = run(_wn_direction(V, (0, 1, 2), mask_c))
         return _data_dep_out(sub, x_init, (0, 1, 2), init_scale)
-    g = sub.param("g", (num_filters,), ones_init)
-    b = sub.param("b", (num_filters,), zeros_init)
-    W = _wn_direction(V, (0, 1, 2), mask_c) * g
+    if folded:
+        b = sub.get("b")
+        W = sub.get("W")
+        if mask_c is not None:
+            W = W * mask_c
+    else:
+        g = sub.param("g", (num_filters,), ones_init)
+        b = sub.param("b", (num_filters,), zeros_init)
+        W = _wn_direction(V, (0, 1, 2), mask_c) * g
     if pallas and tuple(stride) == (1, 1) and pad == "SAME":
         from iaf_tpu.ops import masked_conv2d
         return masked_conv2d(x, W) + b
@@ -250,8 +300,9 @@ def dense(ctx: Ctx, name: str, x: jax.Array, n_out: int,
     makes it a MADE AR layer (``graphy/nodes/ar.py`` dense path)."""
     sub = ctx.scope(name)
     n_in = x.shape[-1]
-    V = sub.param("V", (n_in, n_out), normal_init(0.05))
-    mask_c = None if mask is None else jnp.asarray(mask, V.dtype)
+    folded = (not ctx.init) and sub.has("W")  # fold_wn_tree'd params
+    V = None if folded else sub.param("V", (n_in, n_out), normal_init(0.05))
+    mask_c = None if mask is None else jnp.asarray(mask, jnp.float32)
 
     def run(kernel):
         xc, kc = x, kernel
@@ -266,6 +317,12 @@ def dense(ctx: Ctx, name: str, x: jax.Array, n_out: int,
         x_init = run(_wn_direction(V, (0,), mask_c))
         red = tuple(range(x_init.ndim - 1))
         return _data_dep_out(sub, x_init, red, init_scale)
+    if folded:
+        b = sub.get("b")
+        W = sub.get("W")
+        if mask_c is not None:
+            W = W * mask_c
+        return run(W) + b
     g = sub.param("g", (n_out,), ones_init)
     b = sub.param("b", (n_out,), zeros_init)
     return run(_wn_direction(V, (0,), mask_c) * g) + b
@@ -288,6 +345,8 @@ def _folded_conv_wb(ctx: Ctx, name: str, n_in: int, n_out: int,
     conv scope, for kernels that consume weights directly (apply mode only —
     init calibration always runs the plain conv path)."""
     sub = ctx.scope(name)
+    if sub.has("W"):  # fold_wn_tree'd params: W = V/||V|| * g already
+        return sub.get("W") * jnp.asarray(mask, jnp.float32), sub.get("b")
     V = sub.param("V", (filter_size[0], filter_size[1], n_in, n_out),
                   normal_init(0.05))
     g = sub.param("g", (n_out,), ones_init)

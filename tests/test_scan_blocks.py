@@ -126,3 +126,54 @@ def test_sample_uses_stacked_layout():
     # sampling always scans (layout-driven); both configs agree exactly
     np.testing.assert_allclose(np.asarray(img_s), np.asarray(img_u),
                                rtol=1e-5, atol=1e-3)
+
+
+def test_fold_wn_parity():
+    """fold_wn=true (batched weight-norm pre-fold + masked apply after) must
+    match the per-layer fold in values and gradients — the mask commutation
+    (v*mask)*g == (v*g)*mask is exact because masks are 0/1; only reduction
+    order differs."""
+    _, unroll = cfgs()
+    fold = unroll.replace(fold_wn=True)
+    x = batch(unroll)
+    params = cvae.init_params(unroll, jax.random.PRNGKey(0), x)
+    key = jax.random.PRNGKey(3)
+
+    o_plain = cvae.apply_fn(unroll, params, key, x)
+    o_fold = cvae.apply_fn(fold, params, key, x)
+    np.testing.assert_allclose(float(o_plain.loss), float(o_fold.loss),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(o_plain.elbo_nats),
+                               np.asarray(o_fold.elbo_nats), rtol=1e-5)
+
+    g_plain = jax.grad(lambda p: cvae.apply_fn(unroll, p, key, x).loss)(params)
+    g_fold = jax.grad(lambda p: cvae.apply_fn(fold, p, key, x).loss)(params)
+    jax.tree.map(_assert_norm_close, g_plain, g_fold)
+
+
+def test_fold_wn_trajectory_parity():
+    _, unroll = cfgs(kl_min=0.25)
+    fold = unroll.replace(fold_wn=True)
+    x = batch(unroll, n=8)
+    params = cvae.init_params(unroll, jax.random.PRNGKey(0), x)
+
+    def run(cfg, params, steps=5):
+        state = optim.init_state(params)
+
+        @jax.jit
+        def step(params, state, key):
+            loss, grads = jax.value_and_grad(
+                lambda p: cvae.apply_fn(cfg, p, key, x).loss)(params)
+            params, state = optim.apply_updates(params, grads, state,
+                                                lr=0.01)
+            return params, state, loss
+
+        losses = []
+        for i in range(steps):
+            params, state, loss = step(params, state,
+                                       jax.random.PRNGKey(100 + i))
+            losses.append(float(loss))
+        return losses
+
+    np.testing.assert_allclose(run(unroll, params), run(fold, params),
+                               rtol=1e-4)

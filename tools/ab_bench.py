@@ -48,6 +48,11 @@ VARIANTS = {
     # matmuls; vs base's XLA dense conv with 9 taps)
     "pallas_ar_im2col": ",kernels=pallas_ar,ar_variant=im2col",
     "pallas_opt": ",kernels=pallas_opt",  # fused Adamax+Polyak kernel only
+    # r4 batched weight-norm pre-fold (W = V/||V||*g over the whole stacked
+    # block subtree at once; masks applied after — exact). Won its A/B
+    # 35.97 vs 31.50 (+14%, 4/4 rounds) -> now IN base; "nofold" removes it.
+    "fold": ",fold_wn=true",
+    "nofold": ",fold_wn=false",
     # batch 64 at fixed examples/s: reported steps/s must be doubled to
     # compare against batch-32 variants (the harness reports raw steps/s)
     "batch64": ",batch_size=64",
