@@ -273,7 +273,7 @@ def _layer_param_list(cfg: Config, blocks):
     reduction per leaf type instead of L tiny ones, see
     ``nn.layers.fold_wn_tree``)."""
     if cfg.fold_wn:
-        blocks = L.fold_wn_tree(blocks)
+        blocks = L.fold_wn_tree(blocks, compute_dtype=_compute_dtype(cfg))
     return _unstack_tree(blocks, cfg.num_blocks * cfg.depth)
 
 

@@ -148,7 +148,7 @@ def _wn_direction(V: jax.Array, axes: tuple[int, ...], mask=None) -> jax.Array:
     return v
 
 
-def fold_wn_tree(params: Params) -> Params:
+def fold_wn_tree(params: Params, compute_dtype=None) -> Params:
     """Pre-fold weight normalization over a STACKED param subtree.
 
     Every ``{"V", "g", "b"}`` scope (leaves with leading layer dim L) is
@@ -159,6 +159,12 @@ def fold_wn_tree(params: Params) -> Params:
     time on the paper config). ``conv2d``/``_folded_conv_wb`` consume the
     folded form directly; AR masks still apply downstream, which is exact
     because masks are 0/1 so ``(v*mask)*g == (v*g)*mask`` bitwise.
+
+    ``compute_dtype`` casts W at fold time instead of at each conv — the
+    same cast the conv would do (bit-identical: the later mask multiply
+    is by exact 0/1), but the stacked-leaf layout copies and per-layer
+    slice DMAs then move half the bytes. ``b`` stays f32 (the bias add is
+    post-conv f32 math).
 
     Apply-mode only: data-dependent init calibrates g/b and must see the
     raw V (SURVEY.md §3.5)."""
@@ -171,7 +177,10 @@ def fold_wn_tree(params: Params) -> Params:
                     jnp.sum(jnp.square(V), axis=axes, keepdims=True) + 1e-12)
                 gexp = g.reshape(
                     (g.shape[0],) + (1,) * (V.ndim - 2) + (g.shape[1],))
-                return {"W": v * gexp, "b": b}
+                W = v * gexp
+                if compute_dtype is not None:
+                    W = W.astype(compute_dtype)
+                return {"W": W, "b": b}
             return {k: fold(v) for k, v in node.items()}
         return node
     return fold(params)
@@ -256,14 +265,16 @@ def conv2d(ctx: Ctx, name: str, x: jax.Array, num_filters: int,
         b = sub.get("b")
         W = sub.get("W")
         if mask_c is not None:
-            W = W * mask_c
+            W = W * mask_c.astype(W.dtype)  # 0/1 mask: exact in any dtype
     else:
         g = sub.param("g", (num_filters,), ones_init)
         b = sub.param("b", (num_filters,), zeros_init)
         W = _wn_direction(V, (0, 1, 2), mask_c) * g
     if pallas and tuple(stride) == (1, 1) and pad == "SAME":
         from iaf_tpu.ops import masked_conv2d
-        return masked_conv2d(x, W) + b
+        # keep x/W dtypes uniform (a fold_wn'd W arrives pre-cast to the
+        # compute dtype; mixed-dtype conv VJPs fail)
+        return masked_conv2d(x.astype(W.dtype), W) + b
     return run(W) + b
 
 
@@ -321,7 +332,7 @@ def dense(ctx: Ctx, name: str, x: jax.Array, n_out: int,
         b = sub.get("b")
         W = sub.get("W")
         if mask_c is not None:
-            W = W * mask_c
+            W = W * mask_c.astype(W.dtype)  # 0/1 mask: exact in any dtype
         return run(W) + b
     g = sub.param("g", (n_out,), ones_init)
     b = sub.param("b", (n_out,), zeros_init)
@@ -346,7 +357,8 @@ def _folded_conv_wb(ctx: Ctx, name: str, n_in: int, n_out: int,
     init calibration always runs the plain conv path)."""
     sub = ctx.scope(name)
     if sub.has("W"):  # fold_wn_tree'd params: W = V/||V|| * g already
-        return sub.get("W") * jnp.asarray(mask, jnp.float32), sub.get("b")
+        W = sub.get("W")
+        return W * jnp.asarray(mask, W.dtype), sub.get("b")
     V = sub.param("V", (filter_size[0], filter_size[1], n_in, n_out),
                   normal_init(0.05))
     g = sub.param("g", (n_out,), ones_init)
