@@ -266,14 +266,17 @@ def iaf_layer_down(
 # Stacked-block execution: scan (default) and unrolled parity twin
 # ---------------------------------------------------------------------------
 
-def _layer_param_list(cfg: Config, blocks):
+def _layer_param_list(cfg: Config, blocks, compute_dtype):
     """Per-layer param trees for the unrolled form: one custom-vjp unstack
     of the stacked subtree (single-concat backward), optionally after the
     batched weight-norm fold (``fold_wn`` — all L layers' V-norms in one
     reduction per leaf type instead of L tiny ones, see
-    ``nn.layers.fold_wn_tree``)."""
+    ``nn.layers.fold_wn_tree``). ``compute_dtype`` must be the dtype the
+    consuming pass actually runs with (NOT read from cfg: the
+    inversion-probe path runs f32 regardless of ``cfg.compute_dtype``, and
+    a pre-cast W would make its convs mixed-dtype)."""
     if cfg.fold_wn:
-        blocks = L.fold_wn_tree(blocks, compute_dtype=_compute_dtype(cfg))
+        blocks = L.fold_wn_tree(blocks, compute_dtype=compute_dtype)
     return _unstack_tree(blocks, cfg.num_blocks * cfg.depth)
 
 
@@ -294,7 +297,7 @@ def _run_up(cfg: Config, blocks, keys, h, compute_dtype):
         fn = jax.checkpoint(body) if cfg.remat else body
         return jax.lax.scan(fn, h, (blocks, keys))
     if not isinstance(blocks, (list, tuple)):
-        blocks = _layer_param_list(cfg, blocks)
+        blocks = _layer_param_list(cfg, blocks, compute_dtype)
     sts = []
     for i, lp in enumerate(blocks):
         h, st = body(h, (lp, keys[i]))
@@ -319,7 +322,7 @@ def _run_down(cfg: Config, blocks, keys, stats, h, mode, compute_dtype):
         fn = jax.checkpoint(body) if cfg.remat else body
         return jax.lax.scan(fn, h, (blocks, keys, stats), reverse=True)
     if not isinstance(blocks, (list, tuple)):
-        blocks = _layer_param_list(cfg, blocks)
+        blocks = _layer_param_list(cfg, blocks, compute_dtype)
     n = cfg.num_blocks * cfg.depth
     objs, costs = [None] * n, [None] * n
     for i in reversed(range(n)):
@@ -355,7 +358,7 @@ def cvae_forward(cfg: Config, ctx: Ctx, x: jax.Array, mode: str = "train",
     if not cfg.scan_blocks:
         # unstack (and optionally weight-norm-fold) ONCE; up and down share
         # the per-layer trees so the stacked tree has a single-stack backward
-        blocks = _layer_param_list(cfg, blocks)
+        blocks = _layer_param_list(cfg, blocks, ctx.compute_dtype)
     h, stats = _run_up(cfg, blocks, keys, h, ctx.compute_dtype)
 
     # Top-down from a learned per-channel bias (``h_top`` in tf_train.py).

@@ -177,3 +177,24 @@ def test_fold_wn_trajectory_parity():
 
     np.testing.assert_allclose(run(unroll, params), run(fold, params),
                                rtol=1e-4)
+
+
+def test_fold_wn_probe_runs_f32_under_bf16_defaults():
+    """posterior_flow_probe runs f32 regardless of compute_dtype; with
+    fold_wn on (the default) the folded W must NOT be pre-cast to bf16
+    there (mixed-dtype convs), and the probe must match the unfolded
+    probe."""
+    _, unroll = cfgs()
+    fold = unroll.replace(fold_wn=True, compute_dtype="bfloat16")
+    plain = unroll.replace(fold_wn=False, compute_dtype="bfloat16")
+    x = batch(unroll)
+    params = cvae.init_params(unroll, jax.random.PRNGKey(0), x)
+    z_f, c_f, _ = cvae.posterior_flow_probe(fold, params,
+                                            jax.random.PRNGKey(5), x)
+    z_p, c_p, _ = cvae.posterior_flow_probe(plain, params,
+                                            jax.random.PRNGKey(5), x)
+    assert z_f.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(z_f), np.asarray(z_p),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c_f), np.asarray(c_p),
+                               rtol=1e-5, atol=1e-6)
