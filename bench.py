@@ -224,9 +224,16 @@ def main() -> None:
 
     rates, rates256 = [], []
     for _ in range(6):
+        # one untimed chunk after every program switch: the first chunk
+        # after switching b256->b32 reads ~4-5% low (instruction/queue
+        # re-warm), which the un-interleaved baseline run never paid — a
+        # 20k-step soak sustains 37.9 steps/s while switch-adjacent
+        # windows read 36.0 on the same day (artifacts/soak_20k_r4b_*)
+        run32()
         rates.append(run32())
         if run256 is not None:
             try:
+                run256()  # same re-warm discipline for the b256 windows
                 rates256.append(run256())
             except Exception as e:
                 print(f"[bench] b256 window failed: {e}", file=sys.stderr)
