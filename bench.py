@@ -228,8 +228,10 @@ def main() -> None:
         # after switching b256->b32 reads ~4-5% low (instruction/queue
         # re-warm), which the un-interleaved baseline run never paid — a
         # 20k-step soak sustains 37.9 steps/s while switch-adjacent
-        # windows read 36.0 on the same day (artifacts/soak_20k_r4b_*)
-        run32()
+        # windows read 36.0 on the same day (artifacts/soak_20k_r4b_*).
+        # No b256 program -> no switches -> nothing to re-warm.
+        if run256 is not None:
+            run32()
         rates.append(run32())
         if run256 is not None:
             try:

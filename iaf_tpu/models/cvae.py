@@ -321,9 +321,13 @@ def _run_down(cfg: Config, blocks, keys, stats, h, mode, compute_dtype):
     if cfg.scan_blocks:
         fn = jax.checkpoint(body) if cfg.remat else body
         return jax.lax.scan(fn, h, (blocks, keys, stats), reverse=True)
+    n = cfg.num_blocks * cfg.depth
     if not isinstance(blocks, (list, tuple)):
         blocks = _layer_param_list(cfg, blocks, compute_dtype)
-    n = cfg.num_blocks * cfg.depth
+    if not isinstance(stats, list):
+        # stacked [L, ...] LayerStats: stats[i] would index the NamedTuple
+        # FIELDS, not layer i — slice the leaves instead
+        stats = [_slice_tree(stats, i) for i in range(n)]
     objs, costs = [None] * n, [None] * n
     for i in reversed(range(n)):
         h, (objs[i], costs[i]) = body(h, (blocks[i], keys[i], stats[i]))
@@ -475,6 +479,11 @@ def posterior_flow_probe(cfg: Config, params, rng: jax.Array, x: jax.Array):
 
     keys = _layer_keys(cfg, rng)
     blocks = params["blocks"]
+    if not cfg.scan_blocks:
+        # diagnostic path: pre-unstack WITHOUT the weight-norm fold so the
+        # whole probe (up pass, down slice, ar_fn) runs uniformly on the
+        # raw f32 V/g/b params
+        blocks = _unstack_tree(blocks, cfg.num_blocks * cfg.depth)
     h, stats = _run_up(cfg, blocks, keys, h, None)
     # first layer decoded top-down (list in unrolled form, stacked in scan)
     top_stats = (stats[-1] if isinstance(stats, list)

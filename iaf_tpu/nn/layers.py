@@ -172,9 +172,10 @@ def fold_wn_tree(params: Params, compute_dtype=None) -> Params:
         if isinstance(node, dict):
             if "V" in node:
                 V, g, b = node["V"], node["g"], node["b"]
-                axes = tuple(range(1, V.ndim - 1))
-                v = V * jax.lax.rsqrt(
-                    jnp.sum(jnp.square(V), axis=axes, keepdims=True) + 1e-12)
+                # _wn_direction is THE weight-norm formula (shared with the
+                # per-layer path so the two can never desync numerically);
+                # axes skip the leading L dim and the trailing output dim
+                v = _wn_direction(V, tuple(range(1, V.ndim - 1)))
                 gexp = g.reshape(
                     (g.shape[0],) + (1,) * (V.ndim - 2) + (g.shape[1],))
                 W = v * gexp

@@ -97,7 +97,12 @@ def _fwd(x, w):
 
 def _bwd(res, g):
     x, w = res
-    _, vjp = jax.vjp(xla_conv2d_same, x, w)
+    # The Pallas forward always emits f32 (MXU-accumulated), so the incoming
+    # cotangent is f32 even for bf16 x/w; match the twin's output dtype or
+    # jax.vjp rejects the cotangent (bf16 inputs arrive via fold_wn's
+    # fold-time cast on the kernels=pallas path).
+    _, vjp = jax.vjp(
+        lambda xx, ww: xla_conv2d_same(xx, ww).astype(jnp.float32), x, w)
     return vjp(g)
 
 

@@ -373,3 +373,25 @@ def test_model_forward_pallas_unmerged_heads():
     out_p = cvae.apply_fn(cfg_p, params, jax.random.PRNGKey(1), x)
     np.testing.assert_allclose(float(out_x.loss), float(out_p.loss),
                                rtol=1e-5)
+
+
+def test_masked_conv2d_bf16_grad_matches_twin():
+    """bf16 x/w (the kernels=pallas + fold_wn fold-time-cast path): the
+    custom VJP must accept the f32 cotangent of the Pallas forward (which
+    always emits f32) and agree with the XLA twin's gradients."""
+    import jax.numpy as jnp
+    from iaf_tpu.ops.masked_conv import masked_conv2d, xla_conv2d_same
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 4, 4, 3), jnp.bfloat16)
+    w = jnp.asarray(rng.randn(3, 3, 3, 5), jnp.bfloat16)
+
+    gx, gw = jax.grad(lambda a, b: masked_conv2d(a, b).sum(), (0, 1))(x, w)
+    tx, tw = jax.grad(
+        lambda a, b: xla_conv2d_same(a, b).astype(jnp.float32).sum(),
+        (0, 1))(x, w)
+    assert gx.dtype == x.dtype and gw.dtype == w.dtype
+    np.testing.assert_allclose(np.asarray(gx, np.float32),
+                               np.asarray(tx, np.float32), rtol=1e-2)
+    np.testing.assert_allclose(np.asarray(gw, np.float32),
+                               np.asarray(tw, np.float32), rtol=1e-2)

@@ -132,9 +132,12 @@ def test_fold_wn_parity():
     """fold_wn=true (batched weight-norm pre-fold + masked apply after) must
     match the per-layer fold in values and gradients — the mask commutation
     (v*mask)*g == (v*g)*mask is exact because masks are 0/1; only reduction
-    order differs."""
-    _, unroll = cfgs()
-    fold = unroll.replace(fold_wn=True)
+    order differs. fold_wn defaults ON, so the PLAIN side must disable it
+    explicitly (a replace(fold_wn=True) alone would compare fold to
+    itself)."""
+    _, base = cfgs()
+    unroll = base.replace(fold_wn=False)
+    fold = base.replace(fold_wn=True)
     x = batch(unroll)
     params = cvae.init_params(unroll, jax.random.PRNGKey(0), x)
     key = jax.random.PRNGKey(3)
@@ -152,8 +155,9 @@ def test_fold_wn_parity():
 
 
 def test_fold_wn_trajectory_parity():
-    _, unroll = cfgs(kl_min=0.25)
-    fold = unroll.replace(fold_wn=True)
+    _, base = cfgs(kl_min=0.25)
+    unroll = base.replace(fold_wn=False)
+    fold = base.replace(fold_wn=True)
     x = batch(unroll, n=8)
     params = cvae.init_params(unroll, jax.random.PRNGKey(0), x)
 
