@@ -21,12 +21,18 @@ per-layer leaves (HBM-bound instead of overhead-bound) in EITHER execution
 form. The execution form is selectable: ``scan_blocks=true`` ``lax.scan``s
 a single compiled layer body over the stack (~L-fold less program to
 compile, pairs with ``remat`` for ~L-fold less activation memory);
-``scan_blocks=false`` (the default) unrolls a Python loop over sliced
-stacked params. Both run identical math with identical RNG keys and
-trajectories (tests/test_scan_blocks.py). Measured on TPU (interleaved A/B,
-paper config): scan 23.6 vs unroll 31.0 steps/s — the scan carry serializes
-layers and blocks XLA's cross-layer fusion/overlap, so unrolled is the perf
-default and scan is the compile-time/memory option.
+``scan_blocks=false`` (the default) unrolls a Python loop over per-layer
+trees produced by ONE custom-vjp unstack of the stacked subtree (backward
+= a single stack per leaf, not L pad+add scatters), after an optional
+batched weight-norm pre-fold (``fold_wn``, default ON — see
+``nn.layers.fold_wn_tree``); per-layer stats stay a plain Python list so
+no [L, B, H, W, C] buffers are ever materialized. Both forms run identical
+math with identical RNG keys and trajectories (tests/test_scan_blocks.py).
+Measured on TPU (interleaved A/Bs, paper config): scan 23.6 vs unroll 31.0
+steps/s (r2 — the scan carry serializes layers and blocks XLA's
+cross-layer fusion/overlap), and the r4 fold/unstack/list form 36.3 vs
+31.7 over the sliced-stacked unrolled form; so the folded unrolled loop is
+the perf default and scan is the compile-time/memory option.
 
 Everything is a pure function over a nested params pytree threaded by
 ``iaf_tpu.nn.layers.Ctx``; ``init_params`` runs the same sequencing in init
