@@ -35,9 +35,12 @@ cross-layer fusion/overlap), and the r4 fold/unstack/list form 36.3 vs
 the perf default and scan is the compile-time/memory option.
 
 Everything is a pure function over a nested params pytree threaded by
-``iaf_tpu.nn.layers.Ctx``; ``init_params`` runs the same sequencing in init
-mode to perform the weight-norm data-dependent initialization (SURVEY.md
-§3.5), sequencing the init bodies the same way.
+``iaf_tpu.nn.layers.Ctx``; ``init_params`` performs the weight-norm
+data-dependent initialization (SURVEY.md §3.5) with the per-layer init
+bodies ALWAYS scanned regardless of ``scan_blocks`` (init is a one-time
+pass; one compiled layer body cuts first-run compile ~L-fold, and the
+scanned init matches a hand-unrolled loop to float reduction order —
+tests/test_scan_blocks.py::test_init_parity).
 
 RNG discipline: every layer gets a base key ``fold_name(step_key,
 "block_i/layer_j")`` (stacked and fed through the scan), and per-site keys

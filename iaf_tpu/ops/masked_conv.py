@@ -101,6 +101,11 @@ def _bwd(res, g):
     # cotangent is f32 even for bf16 x/w; match the twin's output dtype or
     # jax.vjp rejects the cotangent (bf16 inputs arrive via fold_wn's
     # fold-time cast on the kernels=pallas path).
+    # Known rounding mismatch for bf16 x/w: this backward is the VJP of the
+    # XLA twin, whose PRIMAL output is bf16-rounded before the f32 cast,
+    # while the Pallas forward emits unrounded f32 accumulations — the
+    # gradients correspond to a function that differs from the forward by
+    # one bf16 output rounding. Inside the bf16 noise floor; NOT exact.
     _, vjp = jax.vjp(
         lambda xx, ww: xla_conv2d_same(xx, ww).astype(jnp.float32), x, w)
     return vjp(g)
