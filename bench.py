@@ -144,7 +144,7 @@ def _build_chunk_timer(ts, cfg, mesh, x, S: int, seed0: int):
 
     t0 = time.time()
     state = ts.init_train_state(cfg, jax.random.PRNGKey(0), x)
-    state = ts.place_state(state, mesh)  # avoid 2nd-call recompile
+    state = ts.place_state(state, mesh, cfg)  # avoid 2nd-call recompile
     chunk = ts.make_train_chunk(cfg, mesh, S)
     xs = jax.device_put(np.stack([x] * S),
                         NamedSharding(mesh, P(None, "data")))

@@ -127,12 +127,36 @@ class Config:
     # apply after, exactly, since masks are 0/1). Same math to float
     # reduction order; see nn/layers.py fold_wn_tree. Honest interleaved
     # A/B (tools/ab_bench.py r4, v5e): 35.97 vs 31.50 steps/s (+14%,
-    # ahead 4/4 rounds) -> default ON.
+    # ahead 4/4 rounds) -> default ON. NOTE: silently a no-op under
+    # scan_blocks=true (the scan consumes the stacked V/g/b directly, so
+    # there is nothing to pre-fold; leaving this True there changes
+    # nothing).
     fold_wn: bool = True
     # Rematerialize the per-layer bodies in backward (jax.checkpoint on the
     # scan body): activation memory ~L-fold smaller for ~1/3 more FLOPs.
     # Only applies when scan_blocks=true.
     remat: bool = False
+    # Pin every train-state leaf to the DEFAULT device layout at the jit
+    # boundary (parallel/train_step.py _state_boundary_sharding). Under
+    # AUTO layout assignment XLA round-trips several stacked param/opt
+    # leaves through a cin-minor layout every step (10 full-leaf f32
+    # relayout copies on the paper config, r5 HLO audit) purely to feed
+    # the default-layout fused optimizer and restore donation aliasing.
+    # Pinning removes the copies (r5 HLO: 11 -> 3 large relayouts) but
+    # LOST its honest interleaved A/B 36.07 vs 36.42 steps/s, 6/6 rounds:
+    # AUTO's cin-minor choice minimizes HBM lane-padding on the
+    # [.,192,160]/[.,160,64] leaf families (1.33x vs 1.6x, 1.6x vs 2.0x
+    # padded bytes), and the optimizer's 9 HBM passes over those leaves
+    # outweigh the copies. Default OFF by measurement; the layout-aware
+    # fused-optimizer admission below captures the same insight instead.
+    # Pure layout choice — zero numerics impact either way.
+    pin_state_layouts: bool = False
+    # Keep stacked leaves whose AUTO device layout is non-default (last two
+    # dims swapped to minimize tile padding — optim._auto_prefers_swapped)
+    # on the XLA optimizer update instead of the default-layout-only Pallas
+    # kernel, avoiding XLA's per-step relayout copies around the kernel.
+    # Identical math either way (the XLA twin IS the oracle).
+    fused_opt_layout_aware: bool = True
 
     # --- precision / kernels ---
     # Conv/matmul inputs are cast to this dtype (params, accumulations, and

@@ -132,6 +132,11 @@ def ones_init(key, shape):
 
 
 def elu(x):
+    # NOTE(r5): a custom_jvp expressing elu' through the saved OUTPUT
+    # (min(out+1, 1)) was tried to delete the expm1 recompute from the
+    # backward conv fusions — XLA rematerializes the derivative from the
+    # saved pre-activation inside the fusion either way (verified in the
+    # optimized TPU HLO), so it changed nothing and was reverted.
     return jax.nn.elu(x)
 
 

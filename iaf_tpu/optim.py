@@ -25,6 +25,29 @@ import jax.numpy as jnp
 FUSED_MIN_SIZE = 1 << 18
 
 
+def _auto_prefers_swapped(shape) -> bool:
+    """True when XLA's AUTO layout assignment stores this leaf with its
+    last two dims swapped (cin-minor, for the stacked conv weights).
+
+    TPU tiled layouts physically pad the minor-most dim to 128 lanes and
+    the second-minor to 8 sublanes; AUTO picks the orientation with fewer
+    padded bytes. Verified against the r5 optimized-HLO audit: on the
+    paper config AUTO swaps exactly the [.,192,160] (1.33x vs 1.6x) and
+    [.,160,64] (1.6x vs 2.0x) families and keeps [.,160,384] / [.,160,448]
+    / square leaves default. A Mosaic kernel only consumes DEFAULT
+    layouts, so routing a swapped-layout leaf through the fused update
+    forces XLA to relayout-copy p/m/u/ema in AND out every step (donation
+    aliasing included) — measured net loss (pin_state_layouts A/B). Such
+    leaves take the XLA elementwise update, which reads/writes the native
+    layout copy-free."""
+    if len(shape) < 2:
+        return False
+    pad = lambda s, t: -(-s // t) * t  # noqa: E731
+    default = pad(shape[-2], 8) * pad(shape[-1], 128)
+    swapped = pad(shape[-1], 8) * pad(shape[-2], 128)
+    return swapped < default
+
+
 class AdamaxState(NamedTuple):
     step: jax.Array   # int32 scalar
     m: Any            # first-moment pytree
@@ -48,13 +71,16 @@ def apply_updates(
     params, grads, state: AdamaxState, *,
     lr: float, beta1: float = 0.9, beta2: float = 0.999, eps: float = 1e-8,
     polyak_decay: float = 0.999, bias_correction: bool = False,
-    grad_clip: float = 0.0, fused: bool = False,
+    grad_clip: float = 0.0, fused: bool = False, layout_aware: bool = True,
 ) -> tuple[Any, AdamaxState]:
     """One fused Adamax + Polyak step. Returns (new_params, new_state).
 
     ``fused=True`` routes each leaf through the single-HBM-pass Pallas
     kernel (``ops/fused_adamax.py``) instead of the XLA elementwise update
-    — identical math, one read+write of every buffer.
+    — identical math, one read+write of every buffer. ``layout_aware``
+    (default ON) keeps leaves whose AUTO device layout is NOT the default
+    (``_auto_prefers_swapped``) on the XLA update, avoiding the per-step
+    relayout copies the default-layout-only Mosaic kernel would force.
     """
     step = state.step + 1
     if grad_clip > 0.0:
@@ -83,7 +109,8 @@ def apply_updates(
 
     new_p, new_m, new_u, new_e = [], [], [], []
     for p, g, m, u, e in zip(flat_p, flat_g, flat_m, flat_u, flat_e):
-        if fused and p.size >= FUSED_MIN_SIZE:
+        if (fused and p.size >= FUSED_MIN_SIZE
+                and not (layout_aware and _auto_prefers_swapped(p.shape))):
             from iaf_tpu.ops.fused_adamax import adamax_polyak_leaf
             p_t, m_t, u_t, e_t = adamax_polyak_leaf(
                 p, g, m, u, e, lr_t, beta1=beta1, beta2=beta2, eps=eps,

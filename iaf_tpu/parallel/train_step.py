@@ -16,6 +16,7 @@ from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
+from jax.experimental.layout import Format, Layout, with_layout_constraint
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from iaf_tpu import optim
@@ -101,15 +102,56 @@ def train_step(cfg: Config, state: TrainState, rng, batch):
             lr=cfg.learning_rate, beta1=cfg.beta1, beta2=cfg.beta2,
             eps=cfg.adamax_eps, polyak_decay=cfg.polyak_decay,
             bias_correction=cfg.bias_correction, grad_clip=cfg.grad_clip,
-            fused=use_pallas(cfg.kernels, "optimizer"))
+            fused=use_pallas(cfg.kernels, "optimizer"),
+            layout_aware=cfg.fused_opt_layout_aware)
     return TrainState(params, opt), metrics
+
+
+_FORMAT_CACHE: dict = {}
+
+
+def _state_boundary_sharding(cfg: Config, mesh: Mesh):
+    """Replicated sharding for the train state at the jit boundary — with
+    every leaf's device layout PINNED to the default (row-major
+    major_to_minor) layout when ``cfg.pin_state_layouts``.
+
+    Left to AUTO layout assignment, XLA gives several stacked
+    [L,kh,kw,cin,cout] state leaves a cin-minor boundary layout (propagated
+    from the conv weights' preference), then relayouts them to the default
+    layout every step to feed the fused optimizer (a Mosaic kernel, which
+    only consumes default layouts) — and relayouts the results BACK to
+    satisfy donation aliasing. On the paper config that is 10 full-leaf
+    f32 copies per step (r5 optimized-HLO audit: down_conv2/V and
+    ar1/layer_out/V families, params + m/u/ema, in and out). Pinning the
+    boundary deletes all of them; the conv side pays at most one bf16
+    transpose of the folded W instead. The leaf structure comes from an
+    abstract ``eval_shape`` of init (nothing executes), cached per config.
+    """
+    repl = NamedSharding(mesh, P())
+    if not cfg.pin_state_layouts:
+        return repl
+    key = (cfg, mesh.shape_tuple, str(mesh.devices.ravel()[0].platform))
+    if key not in _FORMAT_CACHE:
+        batch_dtype = (jnp.float32 if cfg.likelihood == "bernoulli"
+                       else jnp.uint8)
+        batch_sds = jax.ShapeDtypeStruct(
+            (cfg.batch_size, cfg.image_size, cfg.image_size, cfg.channels),
+            batch_dtype)
+        key_sds = jax.ShapeDtypeStruct((2,), jnp.uint32)
+        state_sds = jax.eval_shape(
+            lambda k, b: init_train_state(cfg, k, b), key_sds, batch_sds)
+        _FORMAT_CACHE[key] = jax.tree.map(
+            lambda x: Format(Layout(tuple(range(x.ndim))), repl), state_sds)
+    return _FORMAT_CACHE[key]
 
 
 def make_train_step(cfg: Config, mesh: Mesh):
     """Compile the train step with data-sharded batch and replicated,
-    donated params/opt state."""
+    donated params/opt state (default-layout-pinned at the boundary, see
+    ``_state_boundary_sharding``)."""
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(DATA_AXIS))
+    state_fmt = _state_boundary_sharding(cfg, mesh)
 
     def step(state, rng, batch):
         with activation_sharding(mesh):
@@ -117,8 +159,8 @@ def make_train_step(cfg: Config, mesh: Mesh):
 
     return jax.jit(
         step,
-        in_shardings=(repl, repl, data),
-        out_shardings=(repl, repl),
+        in_shardings=(state_fmt, repl, data),
+        out_shardings=(state_fmt, repl),
         donate_argnums=(0,),
     )
 
@@ -140,21 +182,33 @@ def make_train_chunk(cfg: Config, mesh: Mesh, steps: int):
     """
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(None, DATA_AXIS))
+    state_fmt = _state_boundary_sharding(cfg, mesh)
 
     def chunk(state, base_key, start_step, batches):
         with activation_sharding(mesh):
             def body(carry, inp):
                 i, batch = inp
                 key = jax.random.fold_in(base_key, start_step + i)
-                return train_step(cfg, carry, key, batch)
+                new_state, metrics = train_step(cfg, carry, key, batch)
+                if cfg.pin_state_layouts:
+                    # pin the scan CARRY to the default layout too — the jit
+                    # boundary Format does not reach inside the loop, and an
+                    # AUTO carry re-introduces the per-iteration relayout
+                    # round-trip the boundary pinning removes
+                    new_state = with_layout_constraint(
+                        new_state,
+                        jax.tree.map(
+                            lambda x: Layout(tuple(range(x.ndim))),
+                            new_state))
+                return new_state, metrics
 
             return jax.lax.scan(
                 body, state, (jnp.arange(steps, dtype=jnp.int32), batches))
 
     return jax.jit(
         chunk,
-        in_shardings=(repl, repl, repl, data),
-        out_shardings=(repl, repl),
+        in_shardings=(state_fmt, repl, repl, data),
+        out_shardings=(state_fmt, repl),
         donate_argnums=(0,),
     )
 
@@ -168,12 +222,21 @@ def init_train_state(cfg: Config, rng, sample_batch) -> TrainState:
     return TrainState(params=params, opt=optim.init_state(params))
 
 
-def place_state(state: TrainState, mesh: Mesh) -> TrainState:
-    """Commit the state to the mesh with the replicated sharding the jitted
+def place_state(state: TrainState, mesh: Mesh,
+                cfg: Config | None = None) -> TrainState:
+    """Commit the state to the mesh with the replicated sharding (and, when
+    ``cfg.pin_state_layouts``, the default-layout Format) the jitted
     step/chunk expects as INPUT. Freshly-initialized (or npz-restored) state
     is host-resident/uncommitted, so the first jitted call compiles for that
     layout and the second call — whose input is the first call's
     mesh-sharded OUTPUT — triggers a full recompile (minutes on a remote
     TPU). Placing the state first makes call 0 hit the same executable as
-    every later call."""
+    every later call. Pass the same ``cfg`` the step was made with: a
+    layout-pinned step REJECTS (rather than relayouts) mismatched input
+    layouts, and init's own jitted output can carry an AUTO layout."""
+    if cfg is not None and cfg.pin_state_layouts:
+        repl = NamedSharding(mesh, P())
+        fmt = jax.tree.map(
+            lambda x: Format(Layout(tuple(range(jnp.ndim(x)))), repl), state)
+        return jax.device_put(state, fmt)
     return jax.device_put(state, NamedSharding(mesh, P()))

@@ -187,7 +187,7 @@ def train(cfg: Config, max_steps: int | None = None,
             print(f"[train] {describe(state.params)}")
     # Commit to the input sharding the jitted step expects: skips the
     # second-call recompile (host-resident state vs mesh-sharded output).
-    state = ts.place_state(state, mesh)
+    state = ts.place_state(state, mesh, cfg)
 
     total = cfg.total_steps if max_steps is None else max_steps
     t_last = time.time()

@@ -145,17 +145,17 @@ def test_resume_across_mesh_change(tmp_path):
         return ts.TrainState(p, optim.init_state(p))
 
     # reference: 5 uninterrupted steps on the 1-device mesh
-    st = ts.place_state(fresh_state(), mesh1)
+    st = ts.place_state(fresh_state(), mesh1, cfg)
     _, ref_losses = run(mesh1, st, 5, keys)
 
     # test: 2 steps on mesh1 -> checkpoint -> restore onto mesh8 -> 3 steps
-    st = ts.place_state(fresh_state(), mesh1)
+    st = ts.place_state(fresh_state(), mesh1, cfg)
     st, head = run(mesh1, st, 2, keys[:2])
     path = ckpt.save(str(tmp_path), 2,
                      train_lib.state_to_tree(2, st, jax.random.PRNGKey(9)))
     step, st8, _ = train_lib.tree_to_state(ckpt.restore(path))
     assert step == 2
-    st8 = ts.place_state(st8, mesh8)
+    st8 = ts.place_state(st8, mesh8, cfg)
     _, tail = run(mesh8, st8, 3, keys[2:])
 
     np.testing.assert_allclose(head + tail, ref_losses, rtol=1e-5)

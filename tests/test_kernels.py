@@ -27,11 +27,12 @@ def test_use_pallas_switch():
     assert use_pallas("xla") is False
     # "auto" admits an op class only behind a WINNING measured A/B vs the
     # XLA twin (ops/__init__.py _AUTO_WINS) and only on a real TPU backend;
-    # the conv/elementwise classes lost their A/Bs, the fused optimizer won.
-    on_tpu = jax.default_backend() == "tpu"
+    # as of r5 every class lost its latest controlled A/B (the fused
+    # optimizer's r2/r4 heavy-contention wins flipped at low contention),
+    # so auto admits nothing anywhere.
     assert use_pallas("auto", "conv") is False
     assert use_pallas("auto", "ar_stack") is False
-    assert use_pallas("auto", "optimizer") is (True if on_tpu else False)
+    assert use_pallas("auto", "optimizer") is False
     # isolation switches for A/B harnesses
     assert use_pallas("pallas_ar", "ar_stack") is True
     assert use_pallas("pallas_ar", "conv") is False
@@ -331,6 +332,46 @@ def test_fused_adamax_full_step_matches():
                     jax.tree.leaves((p2, st2.m, st2.u, st2.ema))):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_layout_aware_fused_admission(monkeypatch):
+    """Leaves whose AUTO device layout swaps the last two dims (tile-padding
+    minimization — optim._auto_prefers_swapped) must SKIP the Pallas kernel
+    under layout_aware=True (default) and take the XLA update copy-free;
+    default-layout leaves still run the kernel. Math identical either way
+    (covered by test_fused_adamax_full_step_matches)."""
+    from iaf_tpu import optim
+    import iaf_tpu.ops.fused_adamax as fa
+
+    # criterion reproduces the r5 TPU HLO audit's AUTO choices exactly
+    assert optim._auto_prefers_swapped((20, 3, 3, 192, 160))
+    assert optim._auto_prefers_swapped((20, 3, 3, 160, 64))
+    assert not optim._auto_prefers_swapped((20, 3, 3, 160, 384))
+    assert not optim._auto_prefers_swapped((20, 3, 3, 160, 448))
+    assert not optim._auto_prefers_swapped((20, 3, 3, 160, 160))
+    assert not optim._auto_prefers_swapped((160,))
+
+    calls: list = []
+    real = fa.adamax_polyak_leaf
+
+    def spy(p, *a, **kw):
+        calls.append(p.shape)
+        return real(p, *a, **kw)
+
+    monkeypatch.setattr(fa, "adamax_polyak_leaf", spy)
+    ks = jax.random.split(jax.random.PRNGKey(2), 2)
+    params = {"swapped": jax.random.normal(ks[0], (16, 192, 160)),  # 2^18+
+              "default": jax.random.normal(ks[1], (8, 160, 384))}
+    grads = jax.tree.map(jnp.ones_like, params)
+    st = optim.init_state(params)
+    optim.apply_updates(params, grads, st, lr=0.002, fused=True,
+                        layout_aware=True)
+    assert calls == [(8, 160, 384)], calls
+    calls.clear()
+    st = optim.init_state(params)
+    optim.apply_updates(params, grads, st, lr=0.002, fused=True,
+                        layout_aware=False)
+    assert sorted(calls) == [(8, 160, 384), (16, 192, 160)], calls
 
 
 def test_model_forward_same_with_pallas_kernels():

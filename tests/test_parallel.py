@@ -78,6 +78,7 @@ def test_train_step_runs_and_improves():
     mesh = make_mesh(cfg)
     x = fake_batch(cfg, 8)
     state = ts.init_train_state(cfg, jax.random.PRNGKey(0), x)
+    state = ts.place_state(state, mesh, cfg)
     step = ts.make_train_step(cfg, mesh)
     xg = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P("data")))
     losses = []
@@ -242,7 +243,7 @@ def test_place_state_prevents_second_call_recompile():
     x = fake_batch(cfg, 8, seed=5)
     mesh = make_mesh(cfg)
     state = ts.init_train_state(cfg, jax.random.PRNGKey(0), x)
-    state = ts.place_state(state, mesh)
+    state = ts.place_state(state, mesh, cfg)
     chunk = ts.make_train_chunk(cfg, mesh, 2)
     xs = np.stack([x, x])
     for i in range(3):
@@ -266,7 +267,7 @@ def test_fused_optimizer_kernel_under_sharded_jit(monkeypatch):
         params = cvae.init_params(cfg, jax.random.PRNGKey(0), x)
         import iaf_tpu.optim as optim
         state = ts.TrainState(params, optim.init_state(params))
-        state = ts.place_state(state, mesh)
+        state = ts.place_state(state, mesh, cfg)
         step_fn = ts.make_train_step(cfg, mesh)
         xs = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P("data")))
         ls = []
@@ -295,7 +296,7 @@ def test_fused_optimizer_trajectory_bit_exact(monkeypatch):
         params = cvae.init_params(cfg, jax.random.PRNGKey(0), x)
         import iaf_tpu.optim as optim
         state = ts.TrainState(params, optim.init_state(params))
-        state = ts.place_state(state, mesh)
+        state = ts.place_state(state, mesh, cfg)
         step_fn = ts.make_train_step(cfg, mesh)
         xs = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P("data")))
         losses = []

@@ -23,14 +23,16 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 VARIANTS = {
-    # "base" = CURRENT DEFAULTS. As of r2 that already means bf16 compute,
-    # merged AR heads, row trim, and (on TPU) the fused optimizer kernel —
-    # so the counterfactual variants below REMOVE a win to re-verify it;
-    # the historical additive variants (bf16, merge_heads) are now no-ops
-    # vs base and kept only for running against older checkouts.
+    # "base" = CURRENT DEFAULTS. As of r5 that means bf16 compute, merged
+    # AR heads, row trim, WN pre-fold, and kernels=auto admitting NOTHING
+    # (the fused optimizer left auto in r5: plain XLA won 36.99 vs 36.70
+    # at low contention, flipping its r2/r4 heavy-contention wins). The
+    # counterfactual variants below REMOVE a win to re-verify it; the
+    # historical additive variants (bf16, merge_heads, xla_opt) are now
+    # no-ops vs base and kept only for running against older checkouts.
     "base": "",                        # current defaults (unrolled stacked)
     "f32": ",compute_dtype=float32",   # reference recipe (removes bf16 win)
-    "xla_opt": ",kernels=xla",         # removes the fused-optimizer win
+    "xla_opt": ",kernels=xla",         # = base since r5 (auto admits nothing)
     "scan": ",scan_blocks=true",
     "scan_remat": ",scan_blocks=true,remat=true",
     "notrim": ",ar_row_trim=false",
@@ -38,9 +40,8 @@ VARIANTS = {
     "merge_heads": ",merge_ar_heads=true",
     "merge_heads_bf16": ",merge_ar_heads=true,compute_dtype=bfloat16",
     "pallas": ",kernels=pallas",
-    # fused disc-logistic elementwise kernel only (NOTE: kernels=pallas_elem
-    # disables the fused optimizer that base has on TPU, so A/B it against
-    # xla_opt, not base, to isolate the likelihood kernel)
+    # fused disc-logistic elementwise kernel only (since r5 base has no
+    # fused optimizer, so base is the right control)
     "pallas_elem": ",kernels=pallas_elem",
     "pallas_ar": ",kernels=pallas_ar",  # fused AR-stack kernel only
     # r4 live-tap-im2col AR-stack challenger: one [rows, 5*cin] matmul per
@@ -48,6 +49,16 @@ VARIANTS = {
     # matmuls; vs base's XLA dense conv with 9 taps)
     "pallas_ar_im2col": ",kernels=pallas_ar,ar_variant=im2col",
     "pallas_opt": ",kernels=pallas_opt",  # fused Adamax+Polyak kernel only
+    # r5: adds default-layout boundary pinning (removes XLA's AUTO-layout
+    # relayout copies around the Mosaic optimizer — LOST 36.07 vs 36.42:
+    # AUTO's swapped layouts minimize tile padding, which matters more)
+    "pin": ",pin_state_layouts=true",
+    # r5: the fused optimizer under the layout-aware admission (skips the
+    # swapped-layout leaf families) — beat fuse-everything 36.82 vs 36.48
+    # but LOST to plain XLA 36.82 vs 37.09/36.99, so auto ships XLA
+    "fused_hybrid": ",kernels=pallas_opt",
+    # fuse ALL big leaves incl. swapped-layout families (the r2-r4 default)
+    "nola": ",kernels=pallas_opt,fused_opt_layout_aware=false",
     # r4 batched weight-norm pre-fold (W = V/||V||*g over the whole stacked
     # block subtree at once; masks applied after — exact). Won its A/B
     # 35.97 vs 31.50 (+14%, 4/4 rounds) -> now IN base; "nofold" removes it.
@@ -93,7 +104,7 @@ def build(extra: str):
     x = ds.train_x[: cfg.batch_size]
     assert x.shape[0] == cfg.batch_size, (x.shape, cfg.batch_size)
     state = ts.init_train_state(cfg, jax.random.PRNGKey(0), x)
-    state = ts.place_state(state, mesh)  # avoid 2nd-call recompile
+    state = ts.place_state(state, mesh, cfg)  # avoid 2nd-call recompile
     chunk = ts.make_train_chunk(cfg, mesh, S)
     xs = jax.device_put(np.stack([x] * S),
                         NamedSharding(mesh, P(None, "data")))

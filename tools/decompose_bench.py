@@ -60,7 +60,7 @@ def build(extra: str, program: str):
                            n_test=32, seed=0)
     x = ds.train_x[: cfg.batch_size]
     state = ts.init_train_state(cfg, jax.random.PRNGKey(0), x)
-    state = ts.place_state(state, mesh)  # avoid 2nd-call recompile
+    state = ts.place_state(state, mesh, cfg)  # avoid 2nd-call recompile
     xs_np = np.stack([x] * S)
     xs = jax.device_put(xs_np, NamedSharding(mesh, P(None, "data")))
 

@@ -92,7 +92,7 @@ mesh = make_mesh(cfg)
 ds = synthetic_dataset(cfg.image_size, cfg.channels, 64, 8, seed=0)
 x = ds.train_x[:cfg.batch_size]
 state = ts.init_train_state(cfg, jax.random.PRNGKey(0), x)
-state = ts.place_state(state, mesh)
+state = ts.place_state(state, mesh, cfg)
 step = ts.make_train_step(cfg, mesh)
 state, m = step(state, jax.random.PRNGKey(1), x)  # compile outside trace
 _ = float(np.asarray(m["loss"]))

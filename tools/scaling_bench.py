@@ -45,7 +45,7 @@ def measure(n: int, batch_per_chip: int, extra: str = "") -> float:
                            n_train=max(128, cfg.batch_size), n_test=8, seed=0)
     x = ds.train_x[: cfg.batch_size]
     state = ts.init_train_state(cfg, jax.random.PRNGKey(0), x)
-    state = ts.place_state(state, mesh)  # avoid 2nd-call recompile
+    state = ts.place_state(state, mesh, cfg)  # avoid 2nd-call recompile
     chunk = ts.make_train_chunk(cfg, mesh, S)
     xs = jax.device_put(np.stack([x] * S),
                         NamedSharding(mesh, P(None, "data")))

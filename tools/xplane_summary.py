@@ -240,8 +240,12 @@ AGG_BUCKETS = (
                                      "slice_bitcast_fusion")),
     ("async DMA waits (copy-start/done)", ("copy-start", "copy-done")),
     ("layout copies", ("%copy", "copy.")),
-    ("weight-norm/grad reductions", ("multiply_reduce_fusion",
-                                     "reduce_fusion")),
+    # r5 HLO audit: multiply_reduce_fusion ops are mostly kOutput fusions
+    # ROOTED AT the backward dx convolutions (bf16 MXU work), with the
+    # elu-VJP tail + bias-grad reduce fused in — NOT pure reductions. The
+    # small remainder is the weight-norm V-norm reductions.
+    ("bwd-conv+reduce fusions (dx convs, elu-VJP, WN/bias grads)",
+     ("multiply_reduce_fusion", "reduce_fusion")),
     # the TPU conv emitter runs inside generic %fusion.N ops, so this
     # bucket is dominated by conv fwd/bwd compute plus fused elementwise
     ("fused compute (convs + elementwise)", ("fusion", "convolution")),
