@@ -116,12 +116,12 @@ def build(extra: str, program: str):
 
 VARIANTS = [
     ("full", "", "train"),
-    # full step with the XLA optimizer (removes the fused-kernel win): the
-    # spread full_xla_opt - full is the fused-optimizer saving, and
-    # full - no_opt is the REMAINING optimizer tail under defaults —
-    # together they bound how far the update sits from its one-HBM-pass
-    # roofline (VERDICT r2 next #2).
+    # r5: defaults ship the XLA optimizer (auto admits nothing), so
+    # full_xla_opt == full; full_fused_opt re-adds the Pallas kernel to
+    # keep bounding the optimizer story, and full - no_opt is the
+    # optimizer tail under defaults (VERDICT r2 next #2).
     ("full_xla_opt", ",kernels=xla", "train"),
+    ("full_fused_opt", ",kernels=pallas_opt", "train"),
     ("no_opt", "", "grads"),
     ("fwd", "", "fwd"),
     # AR-conv ablation: dense per-position MADE heads replace the masked
@@ -174,6 +174,9 @@ def main() -> None:
     if "full_xla_opt" in best and "full" in best:
         print(f"fused-opt saving:   "
               f"{best['full_xla_opt'] - best['full']:+.2f} ms")
+    if "full_fused_opt" in best and "full" in best:
+        print(f"pallas-opt delta:   "
+              f"{best['full_fused_opt'] - best['full']:+.2f} ms")
     if "no_ar" in best and "full" in best:
         print(f"AR convs (fwd+bwd): {best['full'] - best['no_ar']:+.2f} ms")
     if "diag" in best and "no_ar" in best:

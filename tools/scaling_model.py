@@ -132,7 +132,13 @@ def main() -> None:
     if step_ms is None:
         # measured single-chip step time from the newest bench artifact
         here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        for cand in ("artifacts/bench_r4_early.json", "bench_baseline.json"):
+        import glob as _glob
+        cands = sorted(_glob.glob(os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "artifacts", "bench_r*.json")), reverse=True)
+        for cand in [os.path.relpath(c, os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))) for c in cands] + [
+                "bench_baseline.json"]:
             p = os.path.join(here, cand)
             try:
                 with open(p) as f:
