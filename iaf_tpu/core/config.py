@@ -107,7 +107,11 @@ class Config:
     # Steps fused into one device program via lax.scan (1 = step-per-dispatch).
     # Collapses the per-step host->device hop; key discipline keeps chunked
     # and unchunked trajectories bit-identical. log/ckpt/eval cadences are
-    # rounded to chunk boundaries.
+    # rounded to chunk boundaries. On a remote-tunneled TPU each host sync
+    # costs a ~29 ms round trip, so size chunks to your log cadence: the r5
+    # interleaved sweep measured 34.8/37.0/37.8/38.2/38.4 steps/s at
+    # S=10/25/50/100/200 (paper config, v5e) — S=100 is within ~1% of the
+    # device-bound asymptote.
     steps_per_dispatch: int = 1
 
     # lax.scan ONE compiled layer body over the stacked per-layer params

@@ -51,7 +51,7 @@ def load_cifar10(data_dir: str) -> Dataset | None:
             return None
         try:
             with tarfile.open(tgz, "r:gz") as f:
-                f.extractall(data_dir)  # noqa: S202
+                f.extractall(data_dir, filter="data")
         except OSError:
             # read-only data mount (e.g. /datasets): extract into a
             # DETERMINISTIC writable location derived from the archive path
@@ -74,7 +74,7 @@ def load_cifar10(data_dir: str) -> Dataset | None:
                 tmp = tempfile.mkdtemp(
                     prefix=f"iaf_tpu_cifar10_{os.getuid()}_extract_")
                 with tarfile.open(tgz, "r:gz") as f:
-                    f.extractall(tmp)  # noqa: S202
+                    f.extractall(tmp, filter="data")
                 with open(os.path.join(tmp, ".extract_complete"), "w") as mf:
                     mf.write("ok\n")
                 try:

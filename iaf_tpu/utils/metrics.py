@@ -34,17 +34,18 @@ class MetricsLogger:
     def log(self, step: int, **metrics: Any) -> None:
         if not self.enabled:
             return
+        import numpy as _np
+
         rec = {"step": int(step), "wall": round(time.time() - self._t0, 3)}
         for k, v in metrics.items():
             try:
-                rec[k] = float(v)
+                arr = _np.asarray(v)
+                if arr.size == 1:  # scalar (incl. shape-(1,...) wrappers)
+                    rec[k] = float(arr.reshape(()))
+                else:  # vector metrics (e.g. per-layer KL)
+                    rec[k] = [round(float(e), 6) for e in arr.ravel()]
             except (TypeError, ValueError):
-                try:  # vector metrics (e.g. per-layer KL)
-                    import numpy as _np
-                    rec[k] = [round(float(e), 6)
-                              for e in _np.asarray(v).ravel()]
-                except Exception:
-                    rec[k] = str(v)
+                rec[k] = str(v)
         self._f.write(json.dumps(rec) + "\n")
         if self._tb is not None:
             for k, v in rec.items():

@@ -78,6 +78,15 @@ VARIANTS = {
     # faster. The answer decides whether h=160 has recoverable headroom.
     "h128": ",h_size=128",
     "h192": ",h_size=192",
+    # r5 dispatch-chunk-size probes: same program per step, only the number
+    # of steps fused per lax.scan dispatch changes (this harness uses S=25;
+    # bench.py moved to S=100 on this sweep's result). Measures how much
+    # per-dispatch tunnel RTT + host bookkeeping remains unamortized per
+    # window.
+    "s10": ("", 10),
+    "s50": ("", 50),
+    "s100": ("", 100),
+    "s200": ("", 200),
 }
 
 BASE = ("depth=1,num_blocks=20,kl_min=0.25,learning_rate=0.002,batch_size=32,"
@@ -86,7 +95,7 @@ BASE = ("depth=1,num_blocks=20,kl_min=0.25,learning_rate=0.002,batch_size=32,"
 S = 25
 
 
-def build(extra: str):
+def build(extra: str, s: int = S):
     """Compile one variant; returns a stateful single-chunk timer."""
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -105,8 +114,8 @@ def build(extra: str):
     assert x.shape[0] == cfg.batch_size, (x.shape, cfg.batch_size)
     state = ts.init_train_state(cfg, jax.random.PRNGKey(0), x)
     state = ts.place_state(state, mesh, cfg)  # avoid 2nd-call recompile
-    chunk = ts.make_train_chunk(cfg, mesh, S)
-    xs = jax.device_put(np.stack([x] * S),
+    chunk = ts.make_train_chunk(cfg, mesh, s)
+    xs = jax.device_put(np.stack([x] * s),
                         NamedSharding(mesh, P(None, "data")))
     holder = {"state": state, "i": 0}
 
@@ -114,10 +123,10 @@ def build(extra: str):
         t0 = time.time()
         holder["state"], m = chunk(holder["state"],
                                    jax.random.PRNGKey(1 + holder["i"]),
-                                   np.int32(holder["i"] * S), xs)
+                                   np.int32(holder["i"] * s), xs)
         _ = float(np.asarray(m["loss"])[-1])
         holder["i"] += 1
-        return S / (time.time() - t0)
+        return s / (time.time() - t0)
 
     t0 = time.time()
     warm = run_once()  # compile + first execution
@@ -135,8 +144,10 @@ def main() -> None:
     timers = {}
     for name in names:
         print(f"[ab] compiling {name}", file=sys.stderr)
+        spec = VARIANTS[name]
+        extra, s = spec if isinstance(spec, tuple) else (spec, S)
         try:
-            timers[name] = build(VARIANTS[name])
+            timers[name] = build(extra, s)
         except Exception as e:
             print(f"  FAILED: {type(e).__name__}: {e}", file=sys.stderr)
 
