@@ -25,7 +25,10 @@ def main() -> None:
                    help="comma-separated k=v hyperparameter overrides")
     p.add_argument("--mode", type=str, default="train",
                    choices=["train", "eval_train", "eval_test", "eval_loop",
-                            "sample", "recon", "invert_check"])
+                            "sample", "recon", "invert_check", "export"])
+    p.add_argument("--export_platforms", type=str, default="",
+                   help="comma list (e.g. tpu,cpu) of lowering platforms "
+                   "for --mode export; default: current backend")
     p.add_argument("--num_gpus", type=int, default=None,
                    help="reference-CLI parity; ignored (mesh uses all chips)")
     p.add_argument("--num_samples", type=int, default=16)
@@ -87,6 +90,11 @@ def main() -> None:
                              temperature=[float(t) for t in
                                           args.temperature.split(",")],
                              out_path=f"{args.logdir}/samples.npy")
+        elif args.mode == "export":
+            train_lib.export_saved(
+                cfg, num_samples=args.num_samples,
+                platforms=(args.export_platforms.split(",")
+                           if args.export_platforms else None))
     finally:
         if tracing:
             import jax

@@ -713,3 +713,27 @@ def sample(cfg: Config, num: int = 16, temperature: float | list[float] = 1.0,
             print(f"[sample] wrote {path} ({num} images, T={t})")
         last = imgs
     return last
+
+
+def export_saved(cfg: Config, out_dir: str | None = None,
+                 num_samples: int = 16, k: int = 1, use_ema: bool = True,
+                 platforms=None) -> dict:
+    """``--mode export``: serialize the trained model's inference surfaces
+    (generative sampling + ELBO scoring, EMA weights baked in) as portable
+    StableHLO artifacts under ``<logdir>/export`` — the serving handoff the
+    reference never had (its Saver checkpoints only load back into its own
+    graph runtime; SURVEY.md §5.4). See ``iaf_tpu.core.export``."""
+    from iaf_tpu.core.export import export_artifacts
+
+    latest = ckpt.latest_checkpoint(cfg.logdir)
+    if latest is None:
+        raise FileNotFoundError(f"no checkpoint in {cfg.logdir}")
+    tree = ckpt.restore(latest)
+    params = tree["opt"]["ema"] if use_ema else tree["params"]
+    paths = export_artifacts(cfg, params, out_dir or f"{cfg.logdir}/export",
+                             num_samples=num_samples, k=k,
+                             platforms=platforms)
+    if jax.process_index() == 0:
+        for name, path in paths.items():
+            print(f"[export] wrote {path} ({os.path.getsize(path)} bytes)")
+    return paths
