@@ -36,7 +36,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 BASE = ("depth=1,num_blocks=20,kl_min=0.25,learning_rate=0.002,batch_size=32,"
         "z_size=32,h_size=160,depth_ar=2,dataset=synthetic")
 
-S = 25  # steps fused per timed dispatch
+# Steps fused per timed dispatch. Each window pays ONE ~29 ms value-fetch
+# round trip (r5 sweep), which cancels in the derived DIFFERENCES below but
+# inflates the absolute ms/step by ~RTT/S — S=100 keeps that under 0.3 ms.
+S = 100
 
 
 def build(extra: str, program: str):
