@@ -63,6 +63,21 @@ def test_export_checks_input_shapes(tmp_path):
     assert raised, "exported artifact must enforce its static signature"
 
 
+def test_export_multi_platform_lowering(tmp_path):
+    """--export_platforms tpu,cpu: one artifact lowered for both backends
+    must still load and run on the current (cpu) backend."""
+    cfg = _cifar_cfg(tmp_path)
+    x = np.random.RandomState(0).randint(
+        0, 256, (8, 8, 8, 3)).astype(np.uint8)
+    params = cvae.init_params(cfg, jax.random.PRNGKey(0), x)
+    paths = export_artifacts(cfg, params, str(tmp_path / "export"),
+                             num_samples=2, platforms=["cpu", "tpu"])
+    out = load_exported(paths["sample"])(jax.random.PRNGKey(0),
+                                         jnp.float32(1.0))
+    assert np.asarray(out).shape == (2, 8, 8, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_export_roundtrip_mnist_family(tmp_path):
     cfg = mnist_vae.mnist_config(
         dataset="synthetic", z_size=4, h_size=8, ar_hidden_size=8,
