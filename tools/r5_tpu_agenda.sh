@@ -37,13 +37,16 @@ wait_for_tunnel() {
 }
 
 # ---- 1. 20k soak at final r5 defaults --------------------------------------
-SOAK="depth=1,num_blocks=20,kl_min=0.25,learning_rate=0.002,batch_size=32,z_size=32,h_size=160,depth_ar=2,dataset=synthetic,total_steps=20000,ckpt_every=5000,log_every=500,steps_per_dispatch=100,eval_every=5000,eval_batch_size=16,eval_k=64"
+# ckpt_every=2500 (not 5000): the tunnel was FLAPPING this session (stalls
+# mid-run), and a retry can only resume from the last checkpoint — 65 s of
+# progress per checkpoint keeps retry loss small.
+SOAK="depth=1,num_blocks=20,kl_min=0.25,learning_rate=0.002,batch_size=32,z_size=32,h_size=160,depth_ar=2,dataset=synthetic,total_steps=20000,ckpt_every=2500,log_every=500,steps_per_dispatch=100,eval_every=5000,eval_batch_size=16,eval_k=64"
 if [ ! -f artifacts/soak_20k_r5_report.txt ] || ! grep -q "ok   finiteness" artifacts/soak_20k_r5_report.txt; then
     rm -rf /tmp/soak20k_r5
-    for attempt in 1 2 3; do
+    for attempt in 1 2 3 4 5; do
         wait_for_tunnel
         log "STEP 1: 20k soak, attempt $attempt (resumes from latest ckpt if any)"
-        if timeout 3600 python train.py --logdir /tmp/soak20k_r5 \
+        if timeout 1800 python train.py --logdir /tmp/soak20k_r5 \
             --hpconfig "$SOAK" --mode train \
             >> artifacts/soak_20k_r5_train.log 2>&1; then
             log "soak finished on attempt $attempt"
