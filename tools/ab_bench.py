@@ -70,6 +70,7 @@ VARIANTS = {
     "batch128": ",batch_size=128",
     "scan_b128": ",scan_blocks=true,batch_size=128",
     "batch256": ",batch_size=256",  # reference effective batch (32 x 8 GPUs)
+    "batch512": ",batch_size=512",  # saturation probe beyond 256
     "batch256_ga8": ",batch_size=256,grad_accum=8",  # memory-bounded form
     # NOT parity configs — roofline probes for the h=160 tile-fragmentation
     # theory (tools/roofline.py tile_ceiling): if conv time follows PADDED
